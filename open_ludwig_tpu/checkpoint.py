@@ -1,0 +1,48 @@
+"""Checkpoint / resume — a capability the reference lacks entirely
+(SURVEY.md section 5: output dir is wiped each run, no state save).
+
+State is tiny relative to training workloads (a few hundred MB), so a plain
+compressed .npz of {f, rho, vel} per level + the step counter is sufficient
+and dependency-free.  Files are written atomically (tmp + rename).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def save_checkpoint(path_dir: str, step: int, states: List[Dict]) -> str:
+    os.makedirs(path_dir, exist_ok=True)
+    path = os.path.join(path_dir, f"ckpt_{step:08d}.npz")
+    tmp = path + ".tmp"
+    payload = {"step": np.int64(step), "n_levels": np.int64(len(states))}
+    for i, st in enumerate(states):
+        for key, arr in st.items():
+            payload[f"L{i}_{key}"] = np.asarray(arr)
+    with open(tmp, "wb") as f:
+        np.savez(f, **payload)
+    os.replace(tmp, path)
+    return path
+
+
+def latest_checkpoint(path_dir: str) -> Optional[str]:
+    files = sorted(glob.glob(os.path.join(path_dir, "ckpt_*.npz")))
+    return files[-1] if files else None
+
+
+def load_checkpoint(path: str) -> Tuple[int, List[Dict]]:
+    data = np.load(path)
+    n = int(data["n_levels"])
+    states = []
+    for i in range(n):
+        st = {}
+        for key in ("f", "rho", "vel"):
+            st[key] = jnp.asarray(data[f"L{i}_{key}"])
+        states.append(st)
+    return int(data["step"]), states

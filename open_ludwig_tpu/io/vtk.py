@@ -1,0 +1,228 @@
+"""Minimal VTK XML (.vtu) writer + flow-field / surface exporters.
+
+Replaces the reference's WriteVTK.jl usage (reference: src/io_vtk.jl,
+src/forces/io.jl:26-82) with a self-contained writer: inline base64 binary
+DataArrays, VTK_VOXEL cells for block flow fields, VTK_TRIANGLE cells for the
+surface.  Blocks fully covered by 8 finer children are skipped
+(reference: src/io_vtk.jl:27-47); NaN/Inf are scrubbed before writing
+(reference: src/io_vtk.jl:112-113).
+"""
+
+from __future__ import annotations
+
+import base64
+import logging
+import os
+import struct
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import OutputFields
+from ..domain.builder import LevelGeometry
+
+log = logging.getLogger("open_ludwig_tpu")
+
+BLOCK_EDGE = 8
+VTK_VOXEL = 11
+VTK_TRIANGLE = 5
+
+
+def _b64(arr: np.ndarray) -> str:
+    raw = np.ascontiguousarray(arr).tobytes()
+    return base64.b64encode(struct.pack("<I", len(raw)) + raw).decode()
+
+
+_VTK_TYPE = {
+    np.dtype(np.float32): "Float32",
+    np.dtype(np.float64): "Float64",
+    np.dtype(np.int32): "Int32",
+    np.dtype(np.int64): "Int64",
+    np.dtype(np.uint8): "UInt8",
+}
+
+
+def write_vtu(
+    path: str,
+    points: np.ndarray,  # (n_pts, 3) float32
+    connectivity: np.ndarray,  # (n_cells, verts_per_cell) int
+    cell_type: int,
+    cell_data: Dict[str, np.ndarray],
+) -> None:
+    n_pts = len(points)
+    n_cells = len(connectivity)
+    vpc = connectivity.shape[1]
+    offsets = (np.arange(1, n_cells + 1, dtype=np.int32)) * vpc
+    types = np.full(n_cells, cell_type, np.uint8)
+
+    parts = [
+        '<?xml version="1.0"?>',
+        '<VTKFile type="UnstructuredGrid" version="0.1" '
+        'byte_order="LittleEndian" header_type="UInt32">',
+        "<UnstructuredGrid>",
+        f'<Piece NumberOfPoints="{n_pts}" NumberOfCells="{n_cells}">',
+        "<Points>",
+        '<DataArray type="Float32" NumberOfComponents="3" format="binary">',
+        _b64(points.astype(np.float32)),
+        "</DataArray>",
+        "</Points>",
+        "<Cells>",
+        '<DataArray type="Int32" Name="connectivity" format="binary">',
+        _b64(connectivity.astype(np.int32)),
+        "</DataArray>",
+        '<DataArray type="Int32" Name="offsets" format="binary">',
+        _b64(offsets),
+        "</DataArray>",
+        '<DataArray type="UInt8" Name="types" format="binary">',
+        _b64(types),
+        "</DataArray>",
+        "</Cells>",
+        "<CellData>",
+    ]
+    for name, arr in cell_data.items():
+        arr = np.asarray(arr)
+        ncomp = 1 if arr.ndim == 1 else arr.shape[1]
+        vtype = _VTK_TYPE[arr.dtype]
+        parts.append(
+            f'<DataArray type="{vtype}" Name="{name}" '
+            f'NumberOfComponents="{ncomp}" format="binary">'
+        )
+        parts.append(_b64(arr))
+        parts.append("</DataArray>")
+    parts += ["</CellData>", "</Piece>", "</UnstructuredGrid>", "</VTKFile>"]
+    with open(path, "w") as f:
+        f.write("\n".join(parts))
+
+
+# local cell decomposition (flat = lz*64 + ly*8 + lx)
+_LF = np.arange(512)
+_LX, _LY, _LZ = _LF % 8, (_LF // 8) % 8, _LF // 64
+
+
+def export_flow_vtu(
+    path: str,
+    levels: List[LevelGeometry],
+    states: List[Dict],
+    fields: OutputFields,
+) -> None:
+    """Merged multi-level flow field, one voxel cell per lattice cell."""
+    # mark blocks fully covered by children (skip exporting them)
+    blocks = []  # (lvl_idx, block_id)
+    for li, geo in enumerate(levels):
+        if li + 1 < len(levels):
+            nxt = levels[li + 1]
+            child_mask = np.zeros(geo.dims, np.int8)
+            # count children per parent block
+            cnt = np.zeros(geo.dims, np.int32)
+            par = nxt.coords // 2
+            np.add.at(cnt, (par[:, 0], par[:, 1], par[:, 2]), 1)
+            covered = cnt[geo.coords[:, 0], geo.coords[:, 1], geo.coords[:, 2]] == 8
+        else:
+            covered = np.zeros(geo.n_blocks, bool)
+        keep = np.nonzero(~covered)[0]
+        blocks.append(keep)
+
+    pt_chunks, conn_chunks = [], []
+    data = {name: [] for name in ("Density", "Velocity", "VelocityMagnitude", "Obstacle", "Level")}
+    pt_base = 0
+    e = BLOCK_EDGE + 1
+    # template point lattice / connectivity for one block
+    pz, py, px = np.meshgrid(np.arange(e), np.arange(e), np.arange(e), indexing="ij")
+    tmpl_pts = np.stack([px, py, pz], axis=-1).reshape(-1, 3).astype(np.float32)
+    # voxel corner ids per cell, VTK_VOXEL corner order (x fastest)
+    cidx = (_LZ * e + _LY) * e + _LX
+    tmpl_conn = np.stack(
+        [
+            cidx,
+            cidx + 1,
+            cidx + e,
+            cidx + e + 1,
+            cidx + e * e,
+            cidx + e * e + 1,
+            cidx + e * e + e,
+            cidx + e * e + e + 1,
+        ],
+        axis=1,
+    ).astype(np.int64)
+
+    for li, geo in enumerate(levels):
+        keep = blocks[li]
+        if len(keep) == 0:
+            continue
+        st = states[li]
+        rho = np.asarray(st["rho"])[keep]  # (m, 512)
+        vel = np.asarray(st["vel"])[:, keep]  # (3, m, 512)
+        obs = geo.obstacle[keep]
+        m = len(keep)
+        origin = geo.coords[keep] * BLOCK_EDGE  # (m, 3)
+        pts = (tmpl_pts[None, :, :] + origin[:, None, :]) * np.float32(geo.dx)
+        pt_chunks.append(pts.reshape(-1, 3))
+        conn = tmpl_conn[None, :, :] + (np.arange(m)[:, None, None] * (e**3) + pt_base)
+        conn_chunks.append(conn.reshape(-1, 8))
+        pt_base += m * e**3
+        data["Density"].append(rho.reshape(-1))
+        data["Velocity"].append(np.moveaxis(vel, 0, -1).reshape(-1, 3))
+        data["VelocityMagnitude"].append(np.sqrt((vel**2).sum(axis=0)).reshape(-1))
+        data["Obstacle"].append(obs.reshape(-1).astype(np.uint8))
+        data["Level"].append(np.full(m * 512, geo.level_id, np.int32))
+
+    if not pt_chunks:
+        return
+    cell_data = {}
+    if fields.density:
+        cell_data["Density"] = _scrub(np.concatenate(data["Density"]))
+    if fields.velocity:
+        cell_data["Velocity"] = _scrub(np.concatenate(data["Velocity"]))
+    if fields.velocity_magnitude:
+        cell_data["VelocityMagnitude"] = _scrub(np.concatenate(data["VelocityMagnitude"]))
+    if fields.obstacle:
+        cell_data["Obstacle"] = np.concatenate(data["Obstacle"])
+    if fields.level:
+        cell_data["Level"] = np.concatenate(data["Level"])
+    write_vtu(
+        path,
+        np.concatenate(pt_chunks),
+        np.concatenate(conn_chunks),
+        VTK_VOXEL,
+        cell_data,
+    )
+    log.info("[VTK] wrote %s (%d cells)", path, sum(len(v) for v in data["Density"]))
+
+
+def _scrub(a: np.ndarray) -> np.ndarray:
+    a = np.asarray(a, np.float32)
+    return np.nan_to_num(a, nan=0.0, posinf=0.0, neginf=0.0)
+
+
+def export_surface_vtu(
+    path: str,
+    vertices: np.ndarray,  # (n_tri, 3, 3) in STL coords
+    normals: np.ndarray,  # (n_tri, 3)
+    areas: np.ndarray,  # (n_tri,)
+    pressure: np.ndarray,  # (n_tri,) Pa
+    shear: np.ndarray,  # (3, n_tri) Pa
+) -> None:
+    """Per-triangle surface loads (reference: src/forces/io.jl:26-82)."""
+    n = len(vertices)
+    pts = vertices.reshape(-1, 3).astype(np.float32)
+    conn = np.arange(3 * n, dtype=np.int32).reshape(n, 3)
+    shear_mag = np.sqrt((shear**2).sum(axis=0))
+    quality = ((np.abs(pressure) > 1e-10) | (np.abs(shear[0]) > 1e-10)).astype(
+        np.float32
+    )
+    write_vtu(
+        path,
+        pts,
+        conn,
+        VTK_TRIANGLE,
+        {
+            "Pressure_Pa": _scrub(pressure),
+            "ShearX_Pa": _scrub(shear[0]),
+            "ShearY_Pa": _scrub(shear[1]),
+            "ShearZ_Pa": _scrub(shear[2]),
+            "ShearMagnitude_Pa": _scrub(shear_mag),
+            "Normal": normals.astype(np.float32),
+            "Area_m2": areas.astype(np.float32),
+            "MappingQuality": quality,
+        },
+    )

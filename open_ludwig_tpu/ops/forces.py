@@ -1,0 +1,266 @@
+"""Surface-stress aerodynamic force computation.
+
+The reference maps each STL triangle to its nearest fluid cell with an
+in-kernel expanding-shell search every time forces are evaluated
+(reference: src/forces/surface.jl:138-266).  The search only depends on the
+STATIC obstacle field and triangle positions, so here it runs ONCE at setup
+(vectorized numpy); the runtime evaluation is a single jitted gather of
+(rho, vel) at the mapped cells + elementwise stress math + one reduction —
+atomics (reference: src/forces/surface.jl:354-364) become plain sums.
+
+Stress model (reference: src/forces/surface.jl:32-89):
+  p    = (rho - 1)/3 * rho_phys * velocity_scale^2           [Pa]
+  tau  = rho * nu_lat * |u_t| / dist * (same scale), along the tangential
+         velocity direction; dist = max(|cell - tri|/dx, 0.5) lattice units.
+
+Forces (reference: src/forces/surface.jl:282-366):
+  dF_p = -p n A,  dF_v = tau A,  dM = r x dF about the moment center,
+with symmetry doubling of Fx/Fz/My and zeroing of Fy/Mx/Mz for half models
+(reference: src/forces/surface.jl:517-526).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..domain.builder import LevelGeometry
+from ..geometry import TriMesh
+from ..scaling import DomainParams
+
+BLOCK_EDGE = 8
+
+
+def build_triangle_cell_map(
+    mesh: TriMesh,
+    geo: LevelGeometry,
+    params: DomainParams,
+    search_radius: int = 5,
+    chunk: int = 4096,
+) -> Dict[str, np.ndarray]:
+    """For each triangle: nearest fluid cell (expanding-shell semantics:
+    scan shells outward, stop one shell after the first hit, keep the
+    minimum-distance candidate) and the wall distance in lattice units."""
+    dx = geo.dx
+    offset = np.asarray(params.mesh_offset)
+    centers = mesh.centers + offset[None, :]  # domain coords
+    n_tri = len(centers)
+    dims_cells = np.asarray(geo.grid_cells)
+
+    # dense obstacle/active lookup for the finest level
+    obstacle_d = np.ones(tuple(dims_cells), bool)  # inactive treated as non-fluid
+    lf = np.arange(512)
+    lx, ly, lz = lf % 8, (lf // 8) % 8, lf // 64
+    gx = geo.coords[:, 0, None] * 8 + lx[None, :]
+    gy = geo.coords[:, 1, None] * 8 + ly[None, :]
+    gz = geo.coords[:, 2, None] * 8 + lz[None, :]
+    obstacle_d[gx, gy, gz] = geo.obstacle
+    block_ptr = geo.block_ptr
+
+    # offsets ordered by Chebyshev shell radius
+    r = search_radius
+    off = np.stack(
+        np.meshgrid(np.arange(-r, r + 1), np.arange(-r, r + 1), np.arange(-r, r + 1),
+                    indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3)
+    shell = np.abs(off).max(axis=1)
+    order = np.argsort(shell, kind="stable")
+    off = off[order]
+    shell = shell[order]
+
+    cell_idx = np.full(n_tri, -1, np.int64)  # flat cell index b*512 + local
+    wall_dist = np.full(n_tri, 0.5, np.float64)
+    found = np.zeros(n_tri, bool)
+
+    for s in range(0, n_tri, chunk):
+        e = min(s + chunk, n_tri)
+        tc = centers[s:e]
+        # anchor cell: reference uses floor(t/dx)+1 in 1-based = floor(t/dx) 0-based
+        g0 = np.floor(tc / dx).astype(np.int64)  # (m, 3)
+        cand = g0[:, None, :] + off[None, :, :]  # (m, no, 3)
+        valid = np.all((cand >= 0) & (cand < dims_cells[None, None, :]), axis=2)
+        cc = np.clip(cand, 0, dims_cells - 1)
+        fluid = valid & ~obstacle_d[cc[..., 0], cc[..., 1], cc[..., 2]]
+        cell_cent = (cand + 0.5) * dx
+        d2 = np.sum((cell_cent - tc[:, None, :]) ** 2, axis=2)
+        d2 = np.where(fluid, d2, np.inf)
+        # shell-limited search: allowed shells <= first_hit_shell + 1
+        first_shell = np.where(
+            fluid.any(axis=1), shell[np.argmax(fluid, axis=1)], r + 1
+        )
+        allowed = shell[None, :] <= np.minimum(first_shell + 1, r)[:, None]
+        d2 = np.where(allowed, d2, np.inf)
+        best = np.argmin(d2, axis=1)
+        has = np.isfinite(d2[np.arange(len(best)), best])
+        bc = cc[np.arange(len(best)), best]  # (m, 3) best cell coords
+        blk = bc // 8
+        bid = block_ptr[blk[:, 0], blk[:, 1], blk[:, 2]].astype(np.int64)
+        loc = bc % 8
+        flat = bid * 512 + loc[:, 2] * 64 + loc[:, 1] * 8 + loc[:, 0]
+        cell_idx[s:e] = np.where(has, flat, 0)
+        found[s:e] = has
+        wd = np.sqrt(d2[np.arange(len(best)), best]) / dx
+        wall_dist[s:e] = np.where(has, np.maximum(wd, 0.5), 0.5)
+
+    return {
+        "cell_idx": cell_idx.astype(np.int32),
+        "wall_dist": wall_dist.astype(np.float32),
+        "found": found,
+    }
+
+
+@dataclass
+class ForceContext:
+    """Device-side constants for force evaluation."""
+
+    cell_idx: jnp.ndarray  # (n_tri,)
+    wall_dist: jnp.ndarray  # (n_tri,) lattice units
+    found: jnp.ndarray  # (n_tri,) bool
+    normals: jnp.ndarray  # (3, n_tri)
+    areas: jnp.ndarray  # (n_tri,)
+    centers: jnp.ndarray  # (3, n_tri) in domain coords (offset applied)
+    moment_center: jnp.ndarray  # (3,)
+    tau_molecular: float
+    pressure_scale: float
+    q_inf: float
+    area_ref: float
+    chord_ref: float
+    symmetric: bool
+
+
+def make_force_context(
+    mesh: TriMesh, geo: LevelGeometry, params: DomainParams, search_radius: int = 5
+) -> ForceContext:
+    m = build_triangle_cell_map(mesh, geo, params, search_radius)
+    offset = np.asarray(params.mesh_offset)
+    pressure_scale = params.rho_physical * params.velocity_scale**2
+    return ForceContext(
+        cell_idx=jnp.asarray(m["cell_idx"]),
+        wall_dist=jnp.asarray(m["wall_dist"]),
+        found=jnp.asarray(m["found"]),
+        normals=jnp.asarray(mesh.normals.T.astype(np.float32)),
+        areas=jnp.asarray(mesh.areas.astype(np.float32)),
+        centers=jnp.asarray((mesh.centers + offset).T.astype(np.float32)),
+        moment_center=jnp.asarray(np.asarray(params.moment_center, np.float32)),
+        tau_molecular=float(geo.tau),
+        pressure_scale=float(pressure_scale),
+        q_inf=float(0.5 * params.rho_physical * params.u_physical**2),
+        area_ref=float(params.reference_area),
+        chord_ref=float(params.reference_chord),
+        symmetric=bool(params.symmetric),
+    )
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _surface_stresses(rho_flat, vel_flat, ctx_arrays, tau_mol, p_scale, q_inf,
+                      area_ref_chord, symmetric):
+    cell_idx, wall_dist, found, normals, areas, centers, mc = ctx_arrays
+    rho_c = rho_flat[cell_idx]
+    u_c = vel_flat[:, cell_idx]  # (3, n)
+
+    p = (rho_c - 1.0) / 3.0 * p_scale
+    u_dot_n = jnp.sum(u_c * normals, axis=0)
+    ut = u_c - u_dot_n[None, :] * normals
+    ut_mag = jnp.sqrt(jnp.sum(ut * ut, axis=0))
+    nu_lat = (tau_mol - 0.5) / 3.0
+    shear_ok = (ut_mag > 1e-10) & (wall_dist > 0.01)
+    tau_mag = rho_c * nu_lat * ut_mag / jnp.maximum(wall_dist, 0.01) * p_scale
+    tau_vec = jnp.where(
+        shear_ok[None, :], ut / jnp.maximum(ut_mag, 1e-20)[None, :] * tau_mag, 0.0
+    )
+    p = jnp.where(found, p, 0.0)
+    tau_vec = jnp.where(found[None, :], tau_vec, 0.0)
+
+    dFp = -p[None, :] * normals * areas[None, :]  # (3, n)
+    dFv = tau_vec * areas[None, :]
+    dF = dFp + dFv
+    rvec = centers - mc[:, None]
+    dM = jnp.cross(rvec.T, dF.T).T  # (3, n)
+
+    Fp = jnp.sum(dFp, axis=1)
+    Fv = jnp.sum(dFv, axis=1)
+    M = jnp.sum(dM, axis=1)
+    return p, tau_vec, Fp, Fv, M
+
+
+@dataclass
+class ForceResult:
+    Fx: float = 0.0
+    Fy: float = 0.0
+    Fz: float = 0.0
+    Fx_pressure: float = 0.0
+    Fy_pressure: float = 0.0
+    Fz_pressure: float = 0.0
+    Fx_viscous: float = 0.0
+    Fy_viscous: float = 0.0
+    Fz_viscous: float = 0.0
+    Mx: float = 0.0
+    My: float = 0.0
+    Mz: float = 0.0
+    Cd: float = 0.0
+    Cl: float = 0.0
+    Cs: float = 0.0
+    Cmx: float = 0.0
+    Cmy: float = 0.0
+    Cmz: float = 0.0
+    pressure_map: np.ndarray = None  # (n_tri,) Pa
+    shear_map: np.ndarray = None  # (3, n_tri) Pa
+
+
+def compute_aerodynamics(state: Dict, ctx: ForceContext) -> ForceResult:
+    """Map stresses and integrate forces/coefficients for the finest level
+    state (reference: src/forces/surface.jl:592-600)."""
+    rho_flat = state["rho"].reshape(-1)
+    vel_flat = state["vel"].reshape(3, -1)
+    ctx_arrays = (
+        ctx.cell_idx,
+        ctx.wall_dist,
+        ctx.found,
+        ctx.normals,
+        ctx.areas,
+        ctx.centers,
+        ctx.moment_center,
+    )
+    p, tau_vec, Fp, Fv, M = _surface_stresses(
+        rho_flat,
+        vel_flat,
+        ctx_arrays,
+        ctx.tau_molecular,
+        ctx.pressure_scale,
+        ctx.q_inf,
+        ctx.area_ref,
+        ctx.symmetric,
+    )
+    Fp = np.asarray(Fp, np.float64)
+    Fv = np.asarray(Fv, np.float64)
+    M = np.asarray(M, np.float64)
+    if ctx.symmetric:
+        Fp = np.array([2 * Fp[0], 0.0, 2 * Fp[2]])
+        Fv = np.array([2 * Fv[0], 0.0, 2 * Fv[2]])
+        M = np.array([0.0, 2 * M[1], 0.0])
+    F = Fp + Fv
+    res = ForceResult(
+        Fx=F[0], Fy=F[1], Fz=F[2],
+        Fx_pressure=Fp[0], Fy_pressure=Fp[1], Fz_pressure=Fp[2],
+        Fx_viscous=Fv[0], Fy_viscous=Fv[1], Fz_viscous=Fv[2],
+        Mx=M[0], My=M[1], Mz=M[2],
+        pressure_map=np.asarray(p),
+        shear_map=np.asarray(tau_vec),
+    )
+    F_ref = ctx.q_inf * ctx.area_ref
+    M_ref = F_ref * ctx.chord_ref
+    if F_ref > 1e-10:
+        res.Cd = F[0] / F_ref
+        res.Cl = F[2] / F_ref
+        res.Cs = F[1] / F_ref
+    if M_ref > 1e-10:
+        res.Cmx = M[0] / M_ref
+        res.Cmy = M[1] / M_ref
+        res.Cmz = M[2] / M_ref
+    return res

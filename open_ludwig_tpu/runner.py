@@ -1,0 +1,231 @@
+"""Case driver and multi-case batch runner.
+
+Equivalent of the reference's solve_main / run_all_cases (reference:
+main.jl:54-274), re-structured around on-device scan batches: the host only
+wakes up at diagnostics / VTK / checkpoint boundaries; everything between is
+one jitted lax.scan (the reference instead syncs the device every level-step).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+import sys
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from . import checkpoint as ckpt
+from .config import CaseConfig, load_batch_list, load_case_config
+from .core.state import build_all, hbm_report
+from .diagnostics import check_stability, compute_flow_stats
+from .domain.builder import setup_case
+from .geometry import TriMesh
+from .io.csv_out import (
+    append_convergence,
+    append_forces,
+    print_force_summary,
+    walltime_str,
+    write_convergence_header,
+    write_forces_header,
+)
+from .io.vtk import export_flow_vtu, export_surface_vtu
+from .ops.forces import ForceContext, compute_aerodynamics, make_force_context
+from .solver import make_batch_runner
+
+log = logging.getLogger("open_ludwig_tpu")
+
+
+@dataclass
+class SolveResult:
+    total_cells: int
+    steps: int
+    wall_time: float
+    mlups: float
+    final_stats: object
+    final_forces: Optional[object]
+
+
+def solve_case(cfg: CaseConfig, quiet: bool = False) -> SolveResult:
+    t_start = time.time()
+    log.info("=" * 70)
+    log.info("  TPU LBM | D3Q27 | WALE LES | case: %s", os.path.basename(cfg.case_dir))
+    log.info("=" * 70)
+
+    mesh, params, levels = setup_case(cfg)
+    log.info(
+        "[Info] Re = %.0f, levels = %d, tau = %s",
+        params.re_number,
+        params.num_levels,
+        ", ".join(f"{t:.6f}" for t in params.tau_levels),
+    )
+
+    states, statics = build_all(cfg, params, levels)
+    log.info(hbm_report(levels, statics))
+    total_cells = sum(g.n_cells for g in levels)
+    log.info("[Info] total cells: %.2f M", total_cells / 1e6)
+
+    out_dir = cfg.output_path
+    resume_step = 0
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    if cfg.checkpoint_resume and ckpt.latest_checkpoint(ckpt_dir):
+        path = ckpt.latest_checkpoint(ckpt_dir)
+        resume_step, states = ckpt.load_checkpoint(path)
+        log.info("[Checkpoint] resumed from %s at step %d", path, resume_step)
+    else:
+        if os.path.isdir(out_dir):
+            for f in os.listdir(out_dir):
+                p = os.path.join(out_dir, f)
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+        os.makedirs(out_dir, exist_ok=True)
+
+    conv_csv = os.path.join(out_dir, "convergence.csv")
+    force_csv = os.path.join(out_dir, "forces.csv")
+    if resume_step == 0:
+        write_convergence_header(conv_csv)
+        if cfg.forces_enabled:
+            write_forces_header(force_csv)
+
+    force_ctx = (
+        make_force_context(mesh, levels[-1], params) if cfg.forces_enabled else None
+    )
+    run = make_batch_runner(cfg, params, statics)
+
+    log.info("[Run] steps=%d ramp=%d diag=%d vtk=%d",
+             cfg.steps, cfg.ramp_steps, cfg.diag_freq, cfg.output_freq)
+    log.info(
+        "%8s | %12s | %10s | %7s | %7s | %7s | %8s | %8s",
+        "Step", "Walltime", "Time[s]", "U_lat", "rho_min", "MLUPS", "Cd", "Cl",
+    )
+
+    # event boundaries: diagnostics, VTK, checkpoint
+    freqs = [cfg.diag_freq, cfg.output_freq]
+    if cfg.checkpoint_freq > 0:
+        freqs.append(cfg.checkpoint_freq)
+
+    t = resume_step + 1
+    last_diag_time = time.time()
+    last_forces = None
+    final_stats = None
+    while t <= cfg.steps:
+        next_events = [((t - 1) // f + 1) * f for f in freqs]
+        batch_end = min(min(next_events), cfg.steps)
+        n = batch_end - t + 1
+        states = run(states, np.int32(t), int(n))
+        t_done = batch_end
+
+        if t_done % cfg.diag_freq == 0 or t_done == cfg.steps:
+            jax.block_until_ready(states[0]["rho"])
+            now = time.time()
+            mlups = total_cells * cfg.diag_freq / max(now - last_diag_time, 1e-9) / 1e6
+            last_diag_time = now
+            stats = compute_flow_stats(states[0], statics[0]["obstacle"])
+            final_stats = stats
+            t_phys = t_done * params.time_scale
+            u_curr = _ramp_host(t_done, cfg)
+            cd_str = cl_str = "N/A"
+            if force_ctx is not None:
+                fr = compute_aerodynamics(states[-1], force_ctx)
+                last_forces = fr
+                cd_str, cl_str = f"{fr.Cd:.4f}", f"{fr.Cl:.4f}"
+                append_forces(force_csv, t_done, t_phys, fr, u_curr)
+            wall = walltime_str(t_start)
+            log.info(
+                "%8d | %12s | %10.4f | %.4f | %.4f | %7.1f | %8s | %8s",
+                t_done, wall, t_phys, u_curr, stats.rho_min, mlups, cd_str, cl_str,
+            )
+            append_convergence(
+                conv_csv, t_done, wall, t_phys, u_curr, stats.rho_min, mlups,
+                cd_str, cl_str,
+            )
+            if cfg.stability_check:
+                for w in check_stability(stats, t_done):
+                    log.warning("[Stability] step %d: %s", t_done, w)
+
+        if t_done % cfg.output_freq == 0:
+            export_flow_vtu(
+                os.path.join(out_dir, f"flow_{t_done:06d}.vtu"),
+                levels, states, cfg.output_fields,
+            )
+            if force_ctx is not None:
+                if last_forces is None or t_done % cfg.diag_freq != 0:
+                    last_forces = compute_aerodynamics(states[-1], force_ctx)
+                export_surface_vtu(
+                    os.path.join(out_dir, f"surface_{t_done:06d}.vtu"),
+                    mesh.vertices, mesh.normals, mesh.areas,
+                    last_forces.pressure_map, last_forces.shear_map,
+                )
+
+        if cfg.checkpoint_freq > 0 and t_done % cfg.checkpoint_freq == 0:
+            path = ckpt.save_checkpoint(ckpt_dir, t_done, states)
+            log.info("[Checkpoint] saved %s", path)
+
+        t = t_done + 1
+
+    wall_total = time.time() - t_start
+    mlups_total = total_cells * (cfg.steps - resume_step) / max(wall_total, 1e-9) / 1e6
+    log.info("=" * 70)
+    log.info(
+        "  COMPLETE | wall %.1f s | %.1f MLUPS end-to-end", wall_total, mlups_total
+    )
+    if last_forces is not None:
+        log.info(
+            "\n%s",
+            print_force_summary(
+                last_forces, params.rho_physical, params.u_physical,
+                params.reference_area, params.reference_chord,
+            ),
+        )
+    return SolveResult(
+        total_cells=total_cells,
+        steps=cfg.steps,
+        wall_time=wall_total,
+        mlups=mlups_total,
+        final_stats=final_stats,
+        final_forces=last_forces,
+    )
+
+
+def _ramp_host(t: int, cfg: CaseConfig) -> float:
+    if t <= cfg.ramp_steps:
+        return float(cfg.u_lattice * 0.5 * (1 - np.cos(np.pi * t / cfg.ramp_steps)))
+    return float(cfg.u_lattice)
+
+
+def run_all_cases(cases_root: str, batch_file: str) -> None:
+    """Iterate case folders with per-case error isolation
+    (reference: main.jl:251-274)."""
+    cases = load_batch_list(batch_file)
+    log.info("MULTI-CASE EXECUTION: %d cases", len(cases))
+    for i, name in enumerate(cases):
+        log.info(">>> CASE %d/%d: %s", i + 1, len(cases), name)
+        try:
+            cfg = load_case_config(os.path.join(cases_root, name))
+            solve_case(cfg)
+        except Exception:
+            log.exception("!!! case %s failed", name)
+    log.info("ALL CASES COMPLETED")
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(message)s", stream=sys.stdout)
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print("usage: python -m open_ludwig_tpu.runner <case_dir> [<case_dir>...]\n"
+              "       python -m open_ludwig_tpu.runner --batch <cases_to_run.yaml> <cases_root>")
+        return 1
+    if argv[0] == "--batch":
+        run_all_cases(argv[2] if len(argv) > 2 else "CASES", argv[1])
+        return 0
+    for case_dir in argv:
+        cfg = load_case_config(case_dir)
+        solve_case(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
