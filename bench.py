@@ -1,0 +1,78 @@
+"""Headline benchmark: MLUPS/chip on the sphere Re~1M virtual wind tunnel.
+
+Mirrors the reference's validated sphere setup (reference:
+RESULTS_SPHERE_RE1M.txt:34-44 — N=25 cells/diameter, u_lat=0.03, 3 levels,
+~1.6M cells) and measures sustained million-lattice-updates/second over a
+timed window after warmup.  vs_baseline is against the reference's best
+claimed single-GPU number (800 MLUPS at 1M cells on an RTX 4090,
+reference: README.md:506).
+
+Prints ONE JSON line.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from open_ludwig_tpu.cases import make_case_sphere
+    from open_ludwig_tpu.config import load_case_config
+    from open_ludwig_tpu.core.state import build_all
+    from open_ludwig_tpu.domain.builder import setup_case
+    from open_ludwig_tpu.solver import make_batch_runner
+
+    tmp = tempfile.mkdtemp()
+    make_case_sphere(
+        tmp,
+        "1M",
+        surface_resolution=25,
+        num_levels=3,
+        steps=400,
+        ramp_steps=200,
+        output_freq=100000,
+        diag_freq=100000,
+        wake_enabled=True,
+    )
+    cfg = load_case_config(tmp)
+    mesh, params, levels = setup_case(cfg)
+    states, statics = build_all(cfg, params, levels)
+    total_cells = sum(g.n_cells for g in levels)
+    # work per coarse step: level l runs 2^(l-1) sub-steps
+    updates_per_coarse = sum(
+        g.n_cells * 2 ** (g.level_id - 1) for g in levels
+    )
+    run = make_batch_runner(cfg, params, statics)
+
+    # warmup + compile
+    states = run(states, np.int32(1), 20)
+    jax.block_until_ready(states[0]["rho"])
+
+    n_timed = 200
+    t0 = time.time()
+    states = run(states, np.int32(21), n_timed)
+    jax.block_until_ready(states[0]["rho"])
+    dt = time.time() - t0
+
+    mlups = updates_per_coarse * n_timed / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "MLUPS/chip (D3Q27 sphere Re1M, 3 levels, "
+                f"{total_cells/1e6:.2f}M cells)",
+                "value": round(mlups, 1),
+                "unit": "MLUPS",
+                "vs_baseline": round(mlups / 800.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

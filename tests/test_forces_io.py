@@ -1,0 +1,172 @@
+"""Force mapping/integration, VTK writer, and checkpoint tests."""
+
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from open_ludwig_tpu.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from open_ludwig_tpu.config import OutputFields
+from open_ludwig_tpu.domain import topology as topo
+from open_ludwig_tpu.domain.builder import LevelGeometry, _dense_to_blocks
+from open_ludwig_tpu.io.vtk import export_flow_vtu, export_surface_vtu, write_vtu
+from open_ludwig_tpu.ops.forces import ForceContext, compute_aerodynamics
+
+
+def _dense_geo(dims, obstacle_d, tau=0.55, dx=0.1):
+    mask = np.ones(dims, bool)
+    coords = topo.blocks_from_mask(mask)
+    ptr = topo.build_block_pointer(coords, dims)
+    nt = topo.build_neighbor_table(coords, ptr)
+    X, Y, Z = [d * 8 for d in dims]
+    return LevelGeometry(
+        1, dx, 1.0, tau, dims, coords, ptr, nt,
+        _dense_to_blocks(obstacle_d, coords),
+        np.zeros((len(coords), 512), np.float32),
+        np.full((len(coords), 512), 100.0, np.float32),
+        None,
+    )
+
+
+def test_force_single_triangle_analytic():
+    """One triangle with outward normal +x mapped to a known fluid cell:
+    check pressure and shear against hand-computed values."""
+    # context arrays built by hand (bypasses the search)
+    rho_phys, vel_scale = 1.225, 100.0
+    p_scale = rho_phys * vel_scale**2
+    tau = 0.56
+    nu_lat = (tau - 0.5) / 3
+    n_tri = 1
+    area = 0.02
+    normal = np.array([[1.0], [0.0], [0.0]], np.float32)
+    center = np.array([[1.0], [2.0], [3.0]], np.float32)
+    mc = np.array([0.5, 2.0, 3.0], np.float32)
+
+    ctx = ForceContext(
+        cell_idx=jnp.asarray(np.array([5], np.int32)),
+        wall_dist=jnp.asarray(np.array([0.8], np.float32)),
+        found=jnp.asarray(np.array([True])),
+        normals=jnp.asarray(normal),
+        areas=jnp.asarray(np.array([area], np.float32)),
+        centers=jnp.asarray(center),
+        moment_center=jnp.asarray(mc),
+        tau_molecular=tau,
+        pressure_scale=float(p_scale),
+        q_inf=0.5 * rho_phys * 10.0**2,
+        area_ref=1.0,
+        chord_ref=1.0,
+        symmetric=False,
+    )
+    rho = np.ones(16, np.float32)
+    rho[5] = 1.06
+    vel = np.zeros((3, 16), np.float32)
+    vel[:, 5] = [0.0, 0.04, 0.03]  # purely tangential to +x normal
+    state = {"rho": jnp.asarray(rho), "vel": jnp.asarray(vel)}
+    fr = compute_aerodynamics(state, ctx)
+
+    p_expect = (1.06 - 1) / 3 * p_scale
+    assert fr.pressure_map[0] == pytest.approx(p_expect, rel=1e-5)
+    ut = np.hypot(0.04, 0.03)
+    tau_mag = 1.06 * nu_lat * ut / 0.8 * p_scale
+    assert fr.shear_map[1, 0] == pytest.approx(tau_mag * 0.04 / ut, rel=1e-4)
+    # Fx = -p * nx * A (pressure only, shear has no x component)
+    assert fr.Fx == pytest.approx(-p_expect * area, rel=1e-5)
+    assert fr.Fx_viscous == pytest.approx(0.0, abs=1e-9)
+    # moment about mc: r = (0.5, 0, 0); M = r x F -> My = rz*Fx - rx*Fz, etc.
+    Fy = tau_mag * 0.04 / ut * area
+    Fz = tau_mag * 0.03 / ut * area
+    assert fr.Mz == pytest.approx(0.5 * Fy, rel=1e-4)
+    assert fr.My == pytest.approx(-0.5 * Fz, rel=1e-4)
+    # coefficients
+    assert fr.Cd == pytest.approx(fr.Fx / (0.5 * 1.225 * 100), rel=1e-6)
+
+
+def test_force_symmetry_doubling():
+    ctx_kw = dict(
+        cell_idx=jnp.asarray(np.array([0], np.int32)),
+        wall_dist=jnp.asarray(np.array([0.5], np.float32)),
+        found=jnp.asarray(np.array([True])),
+        normals=jnp.asarray(np.array([[1.0], [0.0], [0.0]], np.float32)),
+        areas=jnp.asarray(np.array([1.0], np.float32)),
+        centers=jnp.asarray(np.zeros((3, 1), np.float32)),
+        moment_center=jnp.asarray(np.zeros(3, np.float32)),
+        tau_molecular=0.55,
+        pressure_scale=1000.0,
+        q_inf=10.0,
+        area_ref=1.0,
+        chord_ref=1.0,
+    )
+    rho = jnp.asarray(np.array([1.03], np.float32))
+    vel = jnp.asarray(np.array([[0.0], [0.02], [0.0]], np.float32))
+    st = {"rho": rho, "vel": vel}
+    f_full = compute_aerodynamics(st, ForceContext(symmetric=False, **ctx_kw))
+    f_sym = compute_aerodynamics(st, ForceContext(symmetric=True, **ctx_kw))
+    assert f_sym.Fx == pytest.approx(2 * f_full.Fx, rel=1e-6)
+    assert f_sym.Fy == 0.0
+    assert f_sym.Mx == 0.0 and f_sym.Mz == 0.0
+
+
+def test_vtu_writer_roundtrip(tmp_path):
+    pts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    conn = np.array([[0, 1, 2]], np.int32)
+    path = str(tmp_path / "t.vtu")
+    write_vtu(path, pts, conn, 5, {"val": np.array([3.14], np.float32)})
+    root = ET.parse(path).getroot()
+    assert root.attrib["type"] == "UnstructuredGrid"
+    piece = root.find(".//Piece")
+    assert piece.attrib["NumberOfPoints"] == "3"
+    assert piece.attrib["NumberOfCells"] == "1"
+    names = [d.attrib.get("Name") for d in root.findall(".//DataArray")]
+    assert "val" in names and "connectivity" in names
+
+
+def test_flow_export_skips_refined_blocks(tmp_path):
+    # two levels: coarse 1x1x1 block fully covered by 8 fine children
+    coarse = _dense_geo((1, 1, 1), np.zeros((8, 8, 8), bool))
+    fine = _dense_geo((2, 2, 2), np.zeros((16, 16, 16), bool), dx=0.05)
+    fine.level_id = 2
+    states = [
+        {"rho": jnp.ones((1, 512)), "vel": jnp.zeros((3, 1, 512))},
+        {"rho": jnp.ones((8, 512)), "vel": jnp.zeros((3, 8, 512))},
+    ]
+    path = str(tmp_path / "flow.vtu")
+    export_flow_vtu(path, [coarse, fine], states, OutputFields())
+    root = ET.parse(path).getroot()
+    # only the 8 fine blocks are exported (coarse block fully refined)
+    assert root.find(".//Piece").attrib["NumberOfCells"] == str(8 * 512)
+
+
+def test_surface_export(tmp_path):
+    verts = np.zeros((2, 3, 3))
+    verts[0] = [[0, 0, 0], [1, 0, 0], [0, 1, 0]]
+    verts[1] = [[0, 0, 1], [1, 0, 1], [0, 1, 1]]
+    path = str(tmp_path / "surf.vtu")
+    export_surface_vtu(
+        path, verts, np.tile([0, 0, 1.0], (2, 1)), np.array([0.5, 0.5]),
+        np.array([10.0, 0.0]), np.zeros((3, 2)),
+    )
+    root = ET.parse(path).getroot()
+    assert root.find(".//Piece").attrib["NumberOfCells"] == "2"
+    names = [d.attrib.get("Name") for d in root.findall(".//DataArray")]
+    for want in ("Pressure_Pa", "ShearMagnitude_Pa", "MappingQuality", "Area_m2"):
+        assert want in names
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    states = [
+        {
+            "f": jnp.asarray(np.random.rand(27, 2, 512).astype(np.float32)),
+            "rho": jnp.ones((2, 512), jnp.float32),
+            "vel": jnp.zeros((3, 2, 512), jnp.float32),
+        }
+    ]
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, 123, states)
+    save_checkpoint(d, 456, states)
+    assert latest_checkpoint(d).endswith("00000456.npz")
+    step, loaded = load_checkpoint(latest_checkpoint(d))
+    assert step == 456
+    assert np.allclose(np.asarray(loaded[0]["f"]), np.asarray(states[0]["f"]))
