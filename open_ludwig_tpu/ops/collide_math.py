@@ -1,0 +1,187 @@
+"""Shared collision math: moments, sponge, wall model, WALE, regularized BGK.
+
+Layout-agnostic core used by both the block-sparse path (ops.stream_collide)
+and the dense-patch path (ops.dense_step).  Operates on flat (27, N) streamed
+distributions + six (3, N) face-neighbor velocity fields.
+
+Physics per the reference kernel (reference: src/physics_kernels.jl:152-354):
+moments with a 0.01 density floor, sponge blending toward freestream, the
+equilibrium log-law wall-stress body force, WALE eddy viscosity from central
+difference velocity gradients, and regularized-BGK collision with Guo forcing.
+Direction-space contractions are phrased as matmuls (moments, Pi tensor,
+regularized reconstruction) at HIGHEST precision — the momentum sums cancel
+heavily and bf16-class matmul accumulation visibly corrupts u.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import lattice as lat
+
+KAPPA = 0.41
+
+_C = jnp.asarray(lat.C)  # (3, 27)
+_W = jnp.asarray(lat.W)  # (27,)
+_CX = jnp.asarray(lat.C_X.astype(np.float32))
+_PI_MAT = jnp.asarray(lat.PI_MAT)
+_REG_MAT = jnp.asarray(lat.REG_MAT)
+_OPP = lat.OPP
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def inlet_equilibrium(k_cx, w_k, u):
+    """Axis-aligned (x-flow) equilibrium used for inlet/outlet/sponge targets
+    (reference: src/physics_kernels.jl:99-113)."""
+    cu = k_cx * u
+    return w_k * (1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * u * u)
+
+
+def hash_noise(gy, gz, t_seed, salt=1234):
+    """Integer-hash turbulence noise in [-1, 1), bit-exact with the reference
+    (reference: src/physics_utils.jl:17-28)."""
+    combined = (
+        gy * np.int32(374761393)
+        + gz * np.int32(668265263)
+        + t_seed * np.int32(1274126177)
+        + np.int32(salt)
+    )
+    h = combined.astype(jnp.uint32)
+    h = (h ^ (h >> 16)) * np.uint32(0x85EBCA6B)
+    h = (h ^ (h >> 13)) * np.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return (h & np.uint32(0xFFFF)).astype(jnp.float32) / 32768.0 - 1.0
+
+
+def collide(
+    f_str: jnp.ndarray,  # (27, N) post-streaming distributions
+    vel_nbrs: Tuple[jnp.ndarray, ...],  # 6x (3, N): E, W, N, S, T, B neighbors
+    obstacle: jnp.ndarray,  # (N,) bool
+    sponge: jnp.ndarray,  # (N,)
+    wall_dist: jnp.ndarray,  # (N,)
+    u_inlet,
+    *,
+    tau: float,
+    c_wale: float,
+    nu_sgs_background: float,
+    wall_model: bool,
+    sponge_blend: bool,
+):
+    """Returns (f_out, rho_out, vel_out) flat."""
+    # obstacle bounce-back reads the raw streamed values (the reference's
+    # obstacle branch precedes sponge blending)
+    f_bb = f_str[_OPP]
+
+    rho_raw = jnp.maximum(jnp.sum(f_str, axis=0), 0.01)
+    jmom = jnp.dot(_C, f_str, preferred_element_type=jnp.float32, precision=_HI)
+    inv_rho_raw = 1.0 / rho_raw
+    u = jmom * inv_rho_raw
+
+    one_m = 1.0 - sponge
+    rho = rho_raw * one_m + sponge  # target rho = 1
+    u = jnp.stack(
+        [u[0] * one_m + u_inlet * sponge, u[1] * one_m, u[2] * one_m]
+    )
+    if sponge_blend:
+        feq_target = inlet_equilibrium(_CX, _W, u_inlet)  # (27,)
+        f_str = f_str * one_m[None, :] + feq_target[:, None] * sponge[None, :]
+
+    if wall_model:
+        wd = wall_dist
+        u_mag = jnp.sqrt(jnp.sum(u * u, axis=0))
+        nu_visc = (tau - 0.5) / 3.0
+        u_tau = (
+            u_mag
+            * (nu_visc / (wd * u_mag + 1e-10)) ** (1.0 / 7.0)
+            * (2.0 * 8.3) ** (-1.0 / 7.0)
+        )
+        u_tau = jnp.maximum(u_tau, 1e-6)
+        y_p = u_tau * wd / nu_visc
+        u_plus_law = (1.0 / KAPPA) * jnp.log(jnp.maximum(y_p, 1e-10)) + 5.2
+        corr = jnp.where(
+            (y_p > 11.81) & (u_plus_law > 0.1),
+            (u_mag / u_tau) / jnp.maximum(u_plus_law, 0.1),
+            1.0,
+        )
+        u_tau = jnp.maximum(u_tau * corr, 1e-6)
+        tau_wall = rho * u_tau * u_tau
+        tau_res = rho * nu_visc * u_mag / jnp.maximum(wd, 1e-10)
+        active = (
+            (wd > 0.0)
+            & (wd < 10.0)
+            & (u_mag > 1e-6)
+            & (tau_wall > tau_res)
+            & (nu_visc > 1e-10)
+        )
+        force_mag = jnp.where(active, (tau_wall - tau_res) / jnp.maximum(wd, 1e-10), 0.0)
+        F = -force_mag[None, :] * u / jnp.maximum(u_mag, 1e-20)[None, :]
+        u_eq = u + 0.5 * F * inv_rho_raw[None, :]
+    else:
+        F = None
+        u_eq = u
+    usq_eq = jnp.sum(u_eq * u_eq, axis=0)
+
+    # WALE eddy viscosity from central differences of the previous step's
+    # velocity field (reference: src/physics_kernels.jl:251-301)
+    vE, vW, vN, vS, vT, vB = vel_nbrs
+    gx = 0.5 * (vE - vW)  # d(ux,uy,uz)/dx
+    gy = 0.5 * (vN - vS)
+    gz = 0.5 * (vT - vB)
+    g11, g12, g13 = gx[0], gy[0], gz[0]
+    g21, g22, g23 = gx[1], gy[1], gz[1]
+    g31, g32, g33 = gx[2], gy[2], gz[2]
+
+    gsq11 = g11 * g11 + g12 * g21 + g13 * g31
+    gsq12 = g11 * g12 + g12 * g22 + g13 * g32
+    gsq13 = g11 * g13 + g12 * g23 + g13 * g33
+    gsq21 = g21 * g11 + g22 * g21 + g23 * g31
+    gsq22 = g21 * g12 + g22 * g22 + g23 * g32
+    gsq23 = g21 * g13 + g22 * g23 + g23 * g33
+    gsq31 = g31 * g11 + g32 * g21 + g33 * g31
+    gsq32 = g31 * g12 + g32 * g22 + g33 * g32
+    gsq33 = g31 * g13 + g32 * g23 + g33 * g33
+
+    tr_term = (gsq11 + gsq22 + gsq33) / 3.0
+    Sd11, Sd22, Sd33 = gsq11 - tr_term, gsq22 - tr_term, gsq33 - tr_term
+    Sd12 = 0.5 * (gsq12 + gsq21)
+    Sd13 = 0.5 * (gsq13 + gsq31)
+    Sd23 = 0.5 * (gsq23 + gsq32)
+    S12 = 0.5 * (g12 + g21)
+    S13 = 0.5 * (g13 + g31)
+    S23 = 0.5 * (g23 + g32)
+
+    OP1 = Sd11**2 + Sd22**2 + Sd33**2 + 2.0 * (Sd12**2 + Sd13**2 + Sd23**2)
+    OP2 = g11**2 + g22**2 + g33**2 + 2.0 * (S12**2 + S13**2 + S23**2)
+    OP1_32 = OP1 * jnp.sqrt(OP1)
+    OP2_52 = OP2 * OP2 * jnp.sqrt(jnp.maximum(OP2, 1e-12))
+    denom = OP2_52 + OP1 * jnp.sqrt(jnp.sqrt(jnp.maximum(OP1, 1e-12)))
+    nu_eddy = jnp.where(
+        (OP1 > 1e-12) & (denom > 1e-12),
+        (c_wale * c_wale) * OP1_32 / jnp.maximum(denom, 1e-12),
+        0.0,
+    )
+    nu_eddy = jnp.maximum(nu_eddy, nu_sgs_background)
+    omega = 1.0 / jnp.maximum(tau + nu_eddy * 3.0, 0.500001)
+
+    cu = jnp.dot(_C.T, u_eq, preferred_element_type=jnp.float32, precision=_HI)
+    feq = rho[None, :] * _W[:, None] * (1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * usq_eq)
+    f_neq = f_str - feq
+    pi6 = jnp.dot(_PI_MAT, f_neq, preferred_element_type=jnp.float32, precision=_HI)
+    f_neq_reg = jnp.dot(_REG_MAT, pi6, preferred_element_type=jnp.float32, precision=_HI)
+
+    f_coll = feq + (1.0 - omega)[None, :] * f_neq_reg
+    if F is not None:
+        cF = jnp.dot(_C.T, F, preferred_element_type=jnp.float32, precision=_HI)
+        uF = jnp.sum(u * F, axis=0)  # post-sponge u, like the reference
+        ft = 3.0 * _W[:, None] * (cF * (1.0 + 3.0 * cu) - uF[None, :])
+        f_coll = f_coll + (1.0 - 0.5 * omega)[None, :] * ft
+
+    f_out = jnp.where(obstacle[None, :], f_bb, f_coll)
+    rho_out = jnp.where(obstacle, 1.0, rho)
+    vel_out = jnp.where(obstacle[None, :], 0.0, u)
+    return f_out, rho_out, vel_out

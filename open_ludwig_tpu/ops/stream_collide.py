@@ -185,147 +185,33 @@ def stream_collide(
         .reshape(27, N)
     )
 
-    # obstacle bounce-back reads the raw streamed values (the reference's
-    # obstacle branch precedes sponge blending)
-    f_bb = f_str[_OPP]
+    # ---- 2. collision via the shared layout-agnostic core ------------------
+    from .collide_math import collide
 
-    # ---- 2. moments ---------------------------------------------------------
-    rho_raw = jnp.maximum(jnp.sum(f_str, axis=0), 0.01)
-    jmom = jnp.dot(_C, f_str, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # (3, N)
-    inv_rho_raw = 1.0 / rho_raw
-    u = jmom * inv_rho_raw
-
-    # ---- sponge blending ----------------------------------------------------
-    sp = static["sponge"].reshape(N)
-    one_m = 1.0 - sp
-    rho = rho_raw * one_m + sp  # target rho = 1
-    ux = u[0] * one_m + u_inlet * sp
-    uy = u[1] * one_m
-    uz = u[2] * one_m
-    u = jnp.stack([ux, uy, uz])
-    if sponge_blend:
-        feq_target = _inlet_eq_1d(_CX, _W, u_inlet)  # (27,)
-        f_str = f_str * one_m[None, :] + feq_target[:, None] * sp[None, :]
-
-    # ---- wall model body force ----------------------------------------------
-    if wall_model:
-        wd = static["wall_dist"].reshape(N)
-        u_mag = jnp.sqrt(jnp.sum(u * u, axis=0))
-        nu_visc = (tau - 0.5) / 3.0
-        u_tau = (
-            u_mag
-            * (nu_visc / (wd * u_mag + 1e-10)) ** (1.0 / 7.0)
-            * (2.0 * 8.3) ** (-1.0 / 7.0)
-        )
-        u_tau = jnp.maximum(u_tau, 1e-6)
-        y_p = u_tau * wd / nu_visc
-        u_plus_law = (1.0 / KAPPA) * jnp.log(jnp.maximum(y_p, 1e-10)) + 5.2
-        corr = jnp.where(
-            (y_p > 11.81) & (u_plus_law > 0.1),
-            (u_mag / u_tau) / jnp.maximum(u_plus_law, 0.1),
-            1.0,
-        )
-        u_tau = jnp.maximum(u_tau * corr, 1e-6)
-        tau_wall = rho * u_tau * u_tau
-        tau_res = rho * nu_visc * u_mag / jnp.maximum(wd, 1e-10)
-        active = (
-            (wd > 0.0)
-            & (wd < 10.0)
-            & (u_mag > 1e-6)
-            & (tau_wall > tau_res)
-            & (nu_visc > 1e-10)
-        )
-        force_mag = jnp.where(active, (tau_wall - tau_res) / jnp.maximum(wd, 1e-10), 0.0)
-        F = -force_mag[None, :] * u / jnp.maximum(u_mag, 1e-20)[None, :]
-    else:
-        F = None
-
-    if F is not None:
-        u_eq = u + 0.5 * F * inv_rho_raw[None, :]
-    else:
-        u_eq = u
-    usq_eq = jnp.sum(u_eq * u_eq, axis=0)
-
-    # ---- WALE eddy viscosity -------------------------------------------------
-    # velocity gradients from the previous step's velocity field via
-    # central differences across block faces (reference: physics_utils.jl:72-83)
     vel_flat = vel_in.reshape(3, N)
-    nbrs = []
     from ..core.plan import FACE_ROLL  # static roll shifts E,W,N,S,T,B
 
+    nbrs = []
     for i in range(6):
         r = jnp.roll(vel_in, FACE_ROLL[i], axis=-1).reshape(3, N)
         r = r.at[:, static["vel_dst"][i]].set(
             vel_flat[:, static["vel_src"][i]], unique_indices=True
         )
         nbrs.append(r)
-    vE, vW, vN, vS, vT, vB = nbrs
-    g = jnp.stack(
-        [
-            0.5 * (vE - vW),  # d/dx of (ux, uy, uz)
-            0.5 * (vN - vS),  # d/dy
-            0.5 * (vT - vB),  # d/dz
-        ],
-        axis=0,
-    )  # g[a, i] = d u_i / d x_a  -> reference g_ij = du_i/dx_j = g[j, i]
 
-    g11, g12, g13 = g[0, 0], g[1, 0], g[2, 0]
-    g21, g22, g23 = g[0, 1], g[1, 1], g[2, 1]
-    g31, g32, g33 = g[0, 2], g[1, 2], g[2, 2]
-
-    gsq11 = g11 * g11 + g12 * g21 + g13 * g31
-    gsq12 = g11 * g12 + g12 * g22 + g13 * g32
-    gsq13 = g11 * g13 + g12 * g23 + g13 * g33
-    gsq21 = g21 * g11 + g22 * g21 + g23 * g31
-    gsq22 = g21 * g12 + g22 * g22 + g23 * g32
-    gsq23 = g21 * g13 + g22 * g23 + g23 * g33
-    gsq31 = g31 * g11 + g32 * g21 + g33 * g31
-    gsq32 = g31 * g12 + g32 * g22 + g33 * g32
-    gsq33 = g31 * g13 + g32 * g23 + g33 * g33
-
-    tr_term = (gsq11 + gsq22 + gsq33) / 3.0
-    Sd11, Sd22, Sd33 = gsq11 - tr_term, gsq22 - tr_term, gsq33 - tr_term
-    Sd12 = 0.5 * (gsq12 + gsq21)
-    Sd13 = 0.5 * (gsq13 + gsq31)
-    Sd23 = 0.5 * (gsq23 + gsq32)
-    S12 = 0.5 * (g12 + g21)
-    S13 = 0.5 * (g13 + g31)
-    S23 = 0.5 * (g23 + g32)
-
-    OP1 = Sd11**2 + Sd22**2 + Sd33**2 + 2.0 * (Sd12**2 + Sd13**2 + Sd23**2)
-    OP2 = g11**2 + g22**2 + g33**2 + 2.0 * (S12**2 + S13**2 + S23**2)
-
-    OP1_32 = OP1 * jnp.sqrt(OP1)
-    OP2_52 = OP2 * OP2 * jnp.sqrt(jnp.maximum(OP2, 1e-12))
-    denom = OP2_52 + OP1 * jnp.sqrt(jnp.sqrt(jnp.maximum(OP1, 1e-12)))
-    nu_eddy = jnp.where(
-        (OP1 > 1e-12) & (denom > 1e-12),
-        (c_wale * c_wale) * OP1_32 / jnp.maximum(denom, 1e-12),
-        0.0,
+    f_out, rho_out, vel_out = collide(
+        f_str,
+        tuple(nbrs),
+        static["obstacle"].reshape(N),
+        static["sponge"].reshape(N),
+        static["wall_dist"].reshape(N),
+        u_inlet,
+        tau=tau,
+        c_wale=c_wale,
+        nu_sgs_background=nu_sgs_background,
+        wall_model=wall_model,
+        sponge_blend=sponge_blend,
     )
-    nu_eddy = jnp.maximum(nu_eddy, nu_sgs_background)
-    omega = 1.0 / jnp.maximum(tau + nu_eddy * 3.0, 0.500001)
-
-    # ---- regularized-BGK collision (matmul contractions) ---------------------
-    cu = jnp.dot(_C.T, u_eq, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # (27, N)
-    feq = rho[None, :] * _W[:, None] * (1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * usq_eq)
-    f_neq = f_str - feq
-    pi6 = jnp.dot(_PI_MAT, f_neq, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # (6, N)
-    f_neq_reg = jnp.dot(_REG_MAT, pi6, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # (27, N)
-
-    f_coll = feq + (1.0 - omega)[None, :] * f_neq_reg
-    if F is not None:
-        cF = jnp.dot(_C.T, F, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # (27, N)
-        uF = jnp.sum(u * F, axis=0)  # raw (post-sponge) u, like the reference
-        ft = 3.0 * _W[:, None] * (cF * (1.0 + 3.0 * cu) - uF[None, :])
-        f_coll = f_coll + (1.0 - 0.5 * omega)[None, :] * ft
-
-    # ---- obstacle full bounce-back -------------------------------------------
-    obs = static["obstacle"].reshape(N)
-    f_out = jnp.where(obs[None, :], f_bb, f_coll)
-    rho_out = jnp.where(obs, 1.0, rho)
-    vel_out = jnp.where(obs[None, :], 0.0, u)
-
     return (
         f_out.reshape(27, nb, lat.BLOCK_CELLS),
         rho_out.reshape(nb, lat.BLOCK_CELLS),

@@ -1,0 +1,122 @@
+"""Multi-level scheduler for the dense-patch layout.
+
+Same statically-unrolled recursion as solver.make_coarse_step (reference:
+src/solver_control.jl:21-143) operating on dense PatchLevel states
+{f: (27, XS, YS, ZS), rho, vel}; the whole diagnostics interval runs as one
+lax.scan with zero host syncs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import lattice as lat
+from .config import CaseConfig
+from .core.patch import BC_INTERFACE, PatchLevel
+from .ops.dense_step import (
+    build_bouzidi_patch_plan,
+    dense_stream_collide,
+    interface_plane,
+)
+from .ops.stream_collide import apply_bouzidi
+from .scaling import DomainParams
+from .solver import ramp_velocity
+
+
+def init_patch_state(patch: PatchLevel) -> Dict:
+    XS, YS, ZS = patch.padded
+    f = jnp.broadcast_to(
+        jnp.asarray(lat.W)[:, None, None, None], (27, XS, YS, ZS)
+    ).astype(jnp.float32)
+    return {
+        "f": f,
+        "rho": jnp.ones((XS, YS, ZS), jnp.float32),
+        "vel": jnp.zeros((3, XS, YS, ZS), jnp.float32),
+    }
+
+
+def build_patch_statics(cfg: CaseConfig, patches: List[PatchLevel]) -> List[Dict]:
+    statics = []
+    for p in patches:
+        statics.append(
+            {
+                "obstacle": jnp.asarray(p.obstacle.reshape(-1)),
+                "sponge": jnp.asarray(p.sponge.reshape(-1)),
+                "wall_dist": jnp.asarray(p.wall_dist.reshape(-1)),
+                "bouzidi": build_bouzidi_patch_plan(p, cfg.q_min_threshold),
+            }
+        )
+    return statics
+
+
+def make_coarse_step_dense(
+    cfg: CaseConfig, params: DomainParams, patches: List[PatchLevel],
+    statics: List[Dict],
+):
+    n_levels = len(patches)
+    use_temporal = cfg.temporal_interpolation
+
+    def coarse_step(states: List[Dict], t):
+        states = list(states)
+        u_curr = ramp_velocity(t, cfg.u_lattice, cfg.ramp_steps)
+
+        def visit(lvl: int, t_sub, temporal_weight: float, parent_new, parent_old):
+            patch = patches[lvl]
+            static = statics[lvl]
+            iface = None
+            if lvl > 0:
+                iface = {}
+                for face in range(6):
+                    if patch.face_bc[face] == BC_INTERFACE:
+                        iface[face] = interface_plane(
+                            face, patch, patches[lvl - 1],
+                            parent_new, parent_old,
+                            temporal_weight, use_temporal,
+                        )
+            st = states[lvl]
+            f_new, rho_new, vel_new = dense_stream_collide(
+                st["f"], st["vel"], u_curr,
+                (t_sub % 1000000).astype(jnp.int32),
+                static, patch,
+                c_wale=cfg.c_wale,
+                nu_sgs_background=cfg.nu_sgs_background,
+                inlet_turbulence=cfg.inlet_turbulence_intensity,
+                wall_model=cfg.wall_model_enabled,
+                sponge_blend=cfg.sponge_blend_distributions,
+                iface=iface,
+            )
+            if static["bouzidi"] is not None:
+                f_new = apply_bouzidi(f_new, static["bouzidi"])
+            states[lvl] = {"f": f_new, "rho": rho_new, "vel": vel_new}
+            if lvl + 1 < n_levels:
+                old = st  # pre-step parent state for temporal interpolation
+                new = states[lvl]
+                visit(lvl + 1, 2 * t_sub, 0.0, new, old)
+                visit(lvl + 1, 2 * t_sub + 1, 0.5, new, old)
+
+        visit(0, t, 0.0, None, None)
+        return states
+
+    return coarse_step
+
+
+def make_batch_runner_dense(
+    cfg: CaseConfig, params: DomainParams, patches: List[PatchLevel],
+    statics: List[Dict],
+):
+    coarse_step = make_coarse_step_dense(cfg, params, patches, statics)
+
+    @partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+    def run(states, t0, n: int):
+        def body(carry, t):
+            return coarse_step(carry, t), None
+
+        out, _ = jax.lax.scan(body, states, t0 + jnp.arange(n, dtype=jnp.int32))
+        return out
+
+    return run

@@ -1,0 +1,165 @@
+"""Dense-patch path validation: single level vs the naive oracle, equilibrium
+fixed point, and two-level interface behavior."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from open_ludwig_tpu import lattice as lat
+from open_ludwig_tpu.core.patch import (
+    BC_INLET, BC_INTERFACE, BC_MIRROR_Y, BC_MIRROR_Z, BC_OUTLET, PatchLevel,
+)
+from open_ludwig_tpu.ops.dense_step import dense_stream_collide, interface_plane
+
+from reference_impl import naive_step
+
+
+def _patch(interior, tau=0.52, lo=(0, 0, 0), face_bc=None, obstacle=None,
+           sponge=None, wall=None, dx=1.0, level_id=1):
+    X, Y, Z = interior
+    XS, YS, ZS = X, -(-Y // 8) * 8, -(-Z // 128) * 128
+    def pad(a, fill, dtype):
+        out = np.full((XS, YS, ZS), fill, dtype)
+        if a is not None:
+            out[:X, :Y, :Z] = a
+        return out
+    return PatchLevel(
+        level_id=level_id,
+        dx=dx,
+        tau=tau,
+        lo=lo,
+        interior=interior,
+        padded=(XS, YS, ZS),
+        face_bc=tuple(face_bc or (BC_INLET, BC_OUTLET, BC_MIRROR_Y, BC_MIRROR_Y,
+                                  BC_MIRROR_Z, BC_MIRROR_Z)),
+        obstacle=pad(obstacle, True, bool) if obstacle is not None else pad(np.zeros(interior, bool), True, bool),
+        sponge=pad(sponge if sponge is not None else np.zeros(interior, np.float32), 0.0, np.float32),
+        wall_dist=pad(wall if wall is not None else np.full(interior, 100.0, np.float32), 100.0, np.float32),
+    )
+
+
+def _statics(p):
+    return {
+        "obstacle": jnp.asarray(p.obstacle.reshape(-1)),
+        "sponge": jnp.asarray(p.sponge.reshape(-1)),
+        "wall_dist": jnp.asarray(p.wall_dist.reshape(-1)),
+        "bouzidi": None,
+    }
+
+
+def _to_padded(a, p):
+    lead = a.shape[: a.ndim - 3]
+    out = np.zeros(lead + p.padded, a.dtype)
+    X, Y, Z = p.interior
+    out[..., :X, :Y, :Z] = a
+    return jnp.asarray(out)
+
+
+def _interior(a, p):
+    X, Y, Z = p.interior
+    return np.asarray(a)[..., :X, :Y, :Z]
+
+
+@pytest.mark.parametrize(
+    "wall_model,sponge_blend,inlet_turb",
+    [(False, False, 0.0), (True, True, 0.05)],
+)
+def test_dense_matches_oracle(rng, wall_model, sponge_blend, inlet_turb):
+    X, Y, Z = 12, 10, 9
+    tau = 0.52
+    f0 = np.asarray(lat.W64[:, None, None, None]) * (
+        1.0 + 0.05 * rng.standard_normal((27, X, Y, Z))
+    )
+    vel0 = 0.02 * rng.standard_normal((3, X, Y, Z))
+    obstacle = np.zeros((X, Y, Z), bool)
+    obstacle[5:8, 4:6, 4:6] = True
+    sponge = np.zeros((X, Y, Z), np.float32)
+    sponge[9:, :, :] = np.linspace(0.1, 0.8, 3)[:, None, None]
+    wall = np.full((X, Y, Z), 100.0, np.float32)
+    wall[4, 5, 5] = 1.2
+
+    kw = dict(u_inlet=0.05, t_seed=7, tau=tau, c_wale=0.5, nu_sgs=5e-4,
+              inlet_turb=inlet_turb, wall_model=wall_model,
+              sponge_blend=sponge_blend)
+    f_ref = f0.astype(np.float32).astype(np.float64)
+    v_ref = vel0.astype(np.float32).astype(np.float64)
+    f_ref, rho_ref, v_ref = naive_step(f_ref, v_ref, obstacle, sponge, wall, **kw)
+    f_ref2, rho_ref2, v_ref2 = naive_step(f_ref, v_ref, obstacle, sponge, wall, **kw)
+
+    p = _patch((X, Y, Z), tau=tau, obstacle=obstacle, sponge=sponge, wall=wall)
+    st = _statics(p)
+    fj = _to_padded(f0.astype(np.float32), p)
+    vj = _to_padded(vel0.astype(np.float32), p)
+    op = dict(c_wale=0.5, nu_sgs_background=5e-4, inlet_turbulence=inlet_turb,
+              wall_model=wall_model, sponge_blend=sponge_blend)
+    f1, r1, v1 = dense_stream_collide(fj, vj, jnp.float32(0.05), jnp.int32(7), st, p, **op)
+    f2, r2, v2 = dense_stream_collide(f1, v1, jnp.float32(0.05), jnp.int32(7), st, p, **op)
+
+    assert np.allclose(_interior(f2, p), f_ref2, atol=2e-5), \
+        np.abs(_interior(f2, p) - f_ref2).max()
+    assert np.allclose(_interior(r2, p), rho_ref2, atol=2e-5)
+    assert np.allclose(_interior(v2, p), v_ref2, atol=2e-5)
+
+
+def test_dense_equilibrium_fixed_point():
+    p = _patch((8, 8, 8), tau=0.6)
+    st = _statics(p)
+    f = jnp.broadcast_to(jnp.asarray(lat.W)[:, None, None, None],
+                         (27,) + p.padded).astype(jnp.float32)
+    v = jnp.zeros((3,) + p.padded, jnp.float32)
+    f1, r1, v1 = dense_stream_collide(
+        f, v, jnp.float32(0.0), jnp.int32(0), st, p,
+        c_wale=0.5, nu_sgs_background=0.0, inlet_turbulence=0.0,
+        wall_model=False, sponge_blend=True)
+    assert np.allclose(_interior(f1, p), np.asarray(lat.W)[:, None, None, None],
+                       atol=1e-7)
+    assert np.allclose(_interior(r1, p), 1.0, atol=1e-6)
+
+
+def test_interface_plane_uniform_parent():
+    """A uniform-equilibrium parent must produce exactly W_k ghost planes on
+    every interface face (trilinear interp of constants + zero f_neq)."""
+    parent = _patch((16, 16, 16), tau=0.58, level_id=1)
+    child = _patch((12, 12, 12), tau=0.54, lo=(10, 10, 10),
+                   face_bc=[BC_INTERFACE] * 6, level_id=2, dx=0.5)
+    pstate = {
+        "f": jnp.broadcast_to(jnp.asarray(lat.W)[:, None, None, None],
+                              (27,) + parent.padded).astype(jnp.float32),
+        "rho": jnp.ones(parent.padded, jnp.float32),
+        "vel": jnp.zeros((3,) + parent.padded, jnp.float32),
+    }
+    for face in range(6):
+        pl = interface_plane(face, child, parent, pstate, pstate, 0.5, True)
+        pl = np.asarray(pl)
+        # interior transverse region must be exactly W_k
+        want = np.asarray(lat.W)[:, None, None]
+        # padded transverse tails may hold junk; check the guaranteed region
+        A = child.interior[[a for a in range(3) if a != face // 2][0]]
+        B = child.interior[[a for a in range(3) if a != face // 2][1]]
+        assert np.allclose(pl[:, : A + 2, : B + 2], want, atol=1e-6), face
+
+
+def test_interface_plane_linear_field():
+    """Parent rho varying linearly in x: the parity-biased trilinear rule must
+    reproduce the reference's corner/weight choice (g//2-1, g//2 with weight
+    0.25/0.75 by parity)."""
+    parent = _patch((16, 16, 16), tau=0.58)
+    child = _patch((8, 8, 8), tau=0.54, lo=(12, 12, 12),
+                   face_bc=[BC_INTERFACE] * 6, level_id=2, dx=0.5)
+    rho_np = np.ones(parent.padded, np.float32)
+    for i in range(16):
+        rho_np[i, :, :] = 1.0 + 0.01 * i
+    pstate = {
+        "f": jnp.broadcast_to(jnp.asarray(lat.W)[:, None, None, None],
+                              (27,) + parent.padded).astype(jnp.float32)
+        * jnp.asarray(rho_np)[None],
+        "rho": jnp.asarray(rho_np),
+        "vel": jnp.zeros((3,) + parent.padded, jnp.float32),
+    }
+    # x-min face: fine ghost layer at fine g = 11 -> parent corners (4, 5),
+    # weight 0.75 (odd)
+    pl = np.asarray(interface_plane(0, child, parent, pstate, pstate, 1.0, False))
+    rho_expect = (1.0 + 0.01 * 4) * 0.25 + (1.0 + 0.01 * 5) * 0.75
+    # rest-direction k=13: value = W13 * rho (f = W*rho is equilibrium at u=0)
+    assert pl[13, 1, 1] == pytest.approx(lat.W64[13] * rho_expect, rel=1e-5)
