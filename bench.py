@@ -22,11 +22,20 @@ import numpy as np
 def main():
     import jax
 
+    from open_ludwig_tpu.jax_setup import setup_jax_cache
+
+    setup_jax_cache()
+
     from open_ludwig_tpu.cases import make_case_sphere
     from open_ludwig_tpu.config import load_case_config
-    from open_ludwig_tpu.core.state import build_all
-    from open_ludwig_tpu.domain.builder import setup_case
-    from open_ludwig_tpu.solver import make_batch_runner
+    from open_ludwig_tpu.core.patch import build_patches
+    from open_ludwig_tpu.geometry import load_mesh
+    from open_ludwig_tpu.scaling import compute_domain_params
+    from open_ludwig_tpu.solver_dense import (
+        build_patch_statics,
+        init_patch_state,
+        make_batch_runner_dense,
+    )
 
     tmp = tempfile.mkdtemp()
     make_case_sphere(
@@ -41,14 +50,17 @@ def main():
         wake_enabled=True,
     )
     cfg = load_case_config(tmp)
-    mesh, params, levels = setup_case(cfg)
-    states, statics = build_all(cfg, params, levels)
-    total_cells = sum(g.n_cells for g in levels)
+    mesh = load_mesh(cfg.stl_path, scale=cfg.stl_scale)
+    params = compute_domain_params(cfg, mesh.min_bounds, mesh.max_bounds)
+    levels = build_patches(cfg, mesh, params)
+    statics = build_patch_statics(cfg, levels)
+    states = [init_patch_state(p) for p in levels]
+    total_cells = sum(p.n_cells for p in levels)
     # work per coarse step: level l runs 2^(l-1) sub-steps
     updates_per_coarse = sum(
-        g.n_cells * 2 ** (g.level_id - 1) for g in levels
+        p.n_cells * 2 ** (p.level_id - 1) for p in levels
     )
-    run = make_batch_runner(cfg, params, statics)
+    run = make_batch_runner_dense(cfg, params, levels, statics)
 
     # warmup + compile
     states = run(states, np.int32(1), 20)

@@ -118,6 +118,8 @@ class CaseConfig:
     checkpoint_freq: int = 0          # steps between checkpoints (0 = off)
     checkpoint_resume: bool = False   # resume from latest checkpoint if found
     precision: str = "float32"
+    layout: str = "patch"             # "patch" (dense nested boxes, TPU fast
+                                      # path) or "blocks" (sparse 8^3 blocks)
 
     @property
     def reference_area(self) -> float:
@@ -268,6 +270,7 @@ def parse_config(cfg: Dict, case_dir: str = "") -> CaseConfig:
         checkpoint_freq=int(_get(cfg, "advanced", "checkpoint", "freq", default=0)),
         checkpoint_resume=bool(_get(cfg, "advanced", "checkpoint", "resume", default=False)),
         precision=str(_get(cfg, "advanced", "numerics", "precision", default="float32")),
+        layout=str(_get(cfg, "advanced", "engine", "layout", default="patch")),
     )
 
 

@@ -226,3 +226,72 @@ def export_surface_vtu(
             "MappingQuality": quality,
         },
     )
+
+
+def export_flow_vtu_patches(path, patches, states, fields) -> None:
+    """Merged multi-level flow field for the dense-patch layout.  Cells of a
+    level covered by the next-finer patch are skipped (the dense analogue of
+    the reference's fully-refined-block filter, reference: src/io_vtk.jl:27-47).
+    Points are shared per patch grid."""
+    pt_chunks, conn_chunks = [], []
+    data = {n: [] for n in ("Density", "Velocity", "VelocityMagnitude", "Obstacle", "Level")}
+    pt_base = 0
+    for li, p in enumerate(patches):
+        X, Y, Z = p.interior
+        lo = np.asarray(p.lo)
+        # cell mask: keep cells not covered by the child patch
+        keep = np.ones((X, Y, Z), bool)
+        if li + 1 < len(patches):
+            c = patches[li + 1]
+            clo = np.asarray(c.lo) // 2 - lo
+            chi = (np.asarray(c.lo) + np.asarray(c.interior)) // 2 - lo
+            clo = np.clip(clo, 0, [X, Y, Z])
+            chi = np.clip(chi, 0, [X, Y, Z])
+            keep[clo[0]:chi[0], clo[1]:chi[1], clo[2]:chi[2]] = False
+        idx = np.nonzero(keep)
+        if len(idx[0]) == 0:
+            continue
+        # point grid (X+1)(Y+1)(Z+1), shared by all cells of this patch
+        px, py, pz = np.meshgrid(
+            np.arange(X + 1), np.arange(Y + 1), np.arange(Z + 1), indexing="ij"
+        )
+        pts = (np.stack([px, py, pz], axis=-1).reshape(-1, 3) + lo) * np.float32(p.dx)
+        pt_chunks.append(pts.astype(np.float32))
+        sy, sz = (Y + 1) * (Z + 1), Z + 1
+        base = idx[0] * sy + idx[1] * sz + idx[2] + pt_base
+        conn = np.stack(
+            [base, base + sy, base + sz, base + sy + sz,
+             base + 1, base + sy + 1, base + sz + 1, base + sy + sz + 1],
+            axis=1,
+        )
+        # VTK_VOXEL corner order is x-fastest: (0,0,0),(1,0,0),(0,1,0),(1,1,0),
+        # then +z; our axes are (x,y,z) so offsets above are arranged to match
+        conn_chunks.append(conn.astype(np.int64))
+        pt_base += (X + 1) * (Y + 1) * (Z + 1)
+
+        st = states[li]
+        rho = np.asarray(st["rho"])[:X, :Y, :Z][keep]
+        vel = np.asarray(st["vel"])[:, :X, :Y, :Z][:, keep]
+        obs = p.obstacle[:X, :Y, :Z][keep]
+        data["Density"].append(rho)
+        data["Velocity"].append(vel.T)
+        data["VelocityMagnitude"].append(np.sqrt((vel**2).sum(axis=0)))
+        data["Obstacle"].append(obs.astype(np.uint8))
+        data["Level"].append(np.full(len(rho), p.level_id, np.int32))
+
+    if not pt_chunks:
+        return
+    cell_data = {}
+    if fields.density:
+        cell_data["Density"] = _scrub(np.concatenate(data["Density"]))
+    if fields.velocity:
+        cell_data["Velocity"] = _scrub(np.concatenate(data["Velocity"]))
+    if fields.velocity_magnitude:
+        cell_data["VelocityMagnitude"] = _scrub(np.concatenate(data["VelocityMagnitude"]))
+    if fields.obstacle:
+        cell_data["Obstacle"] = np.concatenate(data["Obstacle"])
+    if fields.level:
+        cell_data["Level"] = np.concatenate(data["Level"])
+    write_vtu(path, np.concatenate(pt_chunks), np.concatenate(conn_chunks),
+              VTK_VOXEL, cell_data)
+    log.info("[VTK] wrote %s (%d cells)", path, len(cell_data.get("Level", [])))

@@ -77,8 +77,11 @@ def collide(
     # obstacle branch precedes sponge blending)
     f_bb = f_str[_OPP]
 
+    # Direction-space contractions as explicit broadcast+reduce: exact f32
+    # accumulation (the momentum sums cancel heavily) and cheaper than
+    # HIGHEST-precision MXU matmuls with K=27 padded to 128.
     rho_raw = jnp.maximum(jnp.sum(f_str, axis=0), 0.01)
-    jmom = jnp.dot(_C, f_str, preferred_element_type=jnp.float32, precision=_HI)
+    jmom = jnp.sum(_C[:, :, None] * f_str[None, :, :], axis=1)
     inv_rho_raw = 1.0 / rho_raw
     u = jmom * inv_rho_raw
 
@@ -168,15 +171,15 @@ def collide(
     nu_eddy = jnp.maximum(nu_eddy, nu_sgs_background)
     omega = 1.0 / jnp.maximum(tau + nu_eddy * 3.0, 0.500001)
 
-    cu = jnp.dot(_C.T, u_eq, preferred_element_type=jnp.float32, precision=_HI)
+    cu = jnp.sum(_C.T[:, :, None] * u_eq[None, :, :], axis=1)  # (27, N)
     feq = rho[None, :] * _W[:, None] * (1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * usq_eq)
     f_neq = f_str - feq
-    pi6 = jnp.dot(_PI_MAT, f_neq, preferred_element_type=jnp.float32, precision=_HI)
-    f_neq_reg = jnp.dot(_REG_MAT, pi6, preferred_element_type=jnp.float32, precision=_HI)
+    pi6 = jnp.sum(_PI_MAT[:, :, None] * f_neq[None, :, :], axis=1)  # (6, N)
+    f_neq_reg = jnp.sum(_REG_MAT[:, :, None] * pi6[None, :, :], axis=1)  # (27, N)
 
     f_coll = feq + (1.0 - omega)[None, :] * f_neq_reg
     if F is not None:
-        cF = jnp.dot(_C.T, F, preferred_element_type=jnp.float32, precision=_HI)
+        cF = jnp.sum(_C.T[:, :, None] * F[None, :, :], axis=1)
         uF = jnp.sum(u * F, axis=0)  # post-sponge u, like the reference
         ft = 3.0 * _W[:, None] * (cF * (1.0 + 3.0 * cu) - uF[None, :])
         f_coll = f_coll + (1.0 - 0.5 * omega)[None, :] * ft

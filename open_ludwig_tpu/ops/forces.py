@@ -264,3 +264,89 @@ def compute_aerodynamics(state: Dict, ctx: ForceContext) -> ForceResult:
         res.Cmy = M[1] / M_ref
         res.Cmz = M[2] / M_ref
     return res
+
+
+def build_triangle_cell_map_dense(
+    mesh: TriMesh,
+    patch,
+    params: DomainParams,
+    search_radius: int = 5,
+    chunk: int = 4096,
+) -> Dict[str, np.ndarray]:
+    """Dense-patch variant of the triangle->fluid-cell mapping: the finest
+    level is one dense box, so the shell search runs directly on its obstacle
+    array (patch-local coordinates; returned indices are flat into the padded
+    (XS, YS, ZS) state arrays)."""
+    dx = patch.dx
+    offset = np.asarray(params.mesh_offset)
+    lo = np.asarray(patch.lo)
+    centers = mesh.centers + offset[None, :] - lo[None, :] * dx  # patch-local
+    n_tri = len(centers)
+    X, Y, Z = patch.interior
+    XS, YS, ZS = patch.padded
+    obstacle = patch.obstacle[:X, :Y, :Z]
+
+    r = search_radius
+    off = np.stack(
+        np.meshgrid(np.arange(-r, r + 1), np.arange(-r, r + 1), np.arange(-r, r + 1),
+                    indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3)
+    shell = np.abs(off).max(axis=1)
+    order = np.argsort(shell, kind="stable")
+    off = off[order]
+    shell = shell[order]
+
+    cell_idx = np.zeros(n_tri, np.int64)
+    wall_dist = np.full(n_tri, 0.5, np.float64)
+    found = np.zeros(n_tri, bool)
+    dims = np.array([X, Y, Z])
+    for s in range(0, n_tri, chunk):
+        e = min(s + chunk, n_tri)
+        tc = centers[s:e]
+        g0 = np.floor(tc / dx).astype(np.int64)
+        cand = g0[:, None, :] + off[None, :, :]
+        valid = np.all((cand >= 0) & (cand < dims[None, None, :]), axis=2)
+        cc = np.clip(cand, 0, dims - 1)
+        fluid = valid & ~obstacle[cc[..., 0], cc[..., 1], cc[..., 2]]
+        cell_cent = (cand + 0.5) * dx
+        d2 = np.sum((cell_cent - tc[:, None, :]) ** 2, axis=2)
+        d2 = np.where(fluid, d2, np.inf)
+        first_shell = np.where(fluid.any(axis=1), shell[np.argmax(fluid, axis=1)], r + 1)
+        allowed = shell[None, :] <= np.minimum(first_shell + 1, r)[:, None]
+        d2 = np.where(allowed, d2, np.inf)
+        best = np.argmin(d2, axis=1)
+        has = np.isfinite(d2[np.arange(len(best)), best])
+        bc = cc[np.arange(len(best)), best]
+        flat = (bc[:, 0] * YS + bc[:, 1]) * ZS + bc[:, 2]
+        cell_idx[s:e] = np.where(has, flat, 0)
+        found[s:e] = has
+        wd = np.sqrt(d2[np.arange(len(best)), best]) / dx
+        wall_dist[s:e] = np.where(has, np.maximum(wd, 0.5), 0.5)
+    return {
+        "cell_idx": cell_idx.astype(np.int32),
+        "wall_dist": wall_dist.astype(np.float32),
+        "found": found,
+    }
+
+
+def make_force_context_dense(mesh: TriMesh, patch, params: DomainParams,
+                             search_radius: int = 5) -> ForceContext:
+    m = build_triangle_cell_map_dense(mesh, patch, params, search_radius)
+    offset = np.asarray(params.mesh_offset)
+    pressure_scale = params.rho_physical * params.velocity_scale**2
+    return ForceContext(
+        cell_idx=jnp.asarray(m["cell_idx"]),
+        wall_dist=jnp.asarray(m["wall_dist"]),
+        found=jnp.asarray(m["found"]),
+        normals=jnp.asarray(mesh.normals.T.astype(np.float32)),
+        areas=jnp.asarray(mesh.areas.astype(np.float32)),
+        centers=jnp.asarray((mesh.centers + offset).T.astype(np.float32)),
+        moment_center=jnp.asarray(np.asarray(params.moment_center, np.float32)),
+        tau_molecular=float(patch.tau),
+        pressure_scale=float(pressure_scale),
+        q_inf=float(0.5 * params.rho_physical * params.u_physical**2),
+        area_ref=float(params.reference_area),
+        chord_ref=float(params.reference_chord),
+        symmetric=bool(params.symmetric),
+    )

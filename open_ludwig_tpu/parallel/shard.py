@@ -281,7 +281,7 @@ def make_sharded_step(
 ):
     """Returns a jitted sharded step fn over mesh axis 'x':
     (f, vel, u_inlet, t_seed) -> (f', rho, vel')."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     axis = "x"
     nbp, col_max = sl.nbp, sl.col_max
@@ -301,10 +301,7 @@ def make_sharded_step(
         "sponge": sl.sponge,
         "wall_dist": sl.wall_dist,
     }
-    sharded_consts = jax.device_put(
-        consts,
-        {k: NamedSharding(mesh, P(axis)) for k in consts},
-    ) if False else {
+    sharded_consts = {
         k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, P(axis)))
         for k, v in consts.items()
     }
@@ -322,8 +319,11 @@ def make_sharded_step(
         # halo exchange: ship whole boundary columns both ways
         send_r = f[:, c["send_right"], :]  # (27, col_max, 512)
         send_l = f[:, c["send_left"], :]
-        perm_r = [(i, i + 1) for i in range(n_shards - 1)]
-        perm_l = [(i + 1, i) for i in range(n_shards - 1)]
+        # full-ring permutations (ppermute requires a bijection); the wrapped
+        # deliveries land on edge shards whose plans never reference the
+        # recv buffers, so no masking is needed
+        perm_r = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        perm_l = [((i + 1) % n_shards, i) for i in range(n_shards)]
         recv_left = jax.lax.ppermute(send_r, axis, perm_r)  # from s-1
         recv_right = jax.lax.ppermute(send_l, axis, perm_l)  # from s+1
 

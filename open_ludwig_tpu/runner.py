@@ -33,9 +33,19 @@ from .io.csv_out import (
     write_convergence_header,
     write_forces_header,
 )
-from .io.vtk import export_flow_vtu, export_surface_vtu
-from .ops.forces import ForceContext, compute_aerodynamics, make_force_context
+from .io.vtk import export_flow_vtu, export_flow_vtu_patches, export_surface_vtu
+from .ops.forces import (
+    ForceContext,
+    compute_aerodynamics,
+    make_force_context,
+    make_force_context_dense,
+)
 from .solver import make_batch_runner
+from .solver_dense import (
+    build_patch_statics,
+    init_patch_state,
+    make_batch_runner_dense,
+)
 
 log = logging.getLogger("open_ludwig_tpu")
 
@@ -51,23 +61,39 @@ class SolveResult:
 
 
 def solve_case(cfg: CaseConfig, quiet: bool = False) -> SolveResult:
+    from .jax_setup import setup_jax_cache
+
+    setup_jax_cache()
     t_start = time.time()
     log.info("=" * 70)
     log.info("  TPU LBM | D3Q27 | WALE LES | case: %s", os.path.basename(cfg.case_dir))
     log.info("=" * 70)
 
-    mesh, params, levels = setup_case(cfg)
+    dense = cfg.layout == "patch"
+    if dense:
+        from .core.patch import build_patches
+        from .domain.builder import setup_case as _setup_blocks
+        from .geometry import load_mesh
+        from .scaling import compute_domain_params
+
+        mesh = load_mesh(cfg.stl_path, scale=cfg.stl_scale)
+        params = compute_domain_params(cfg, mesh.min_bounds, mesh.max_bounds)
+        levels = build_patches(cfg, mesh, params)
+        statics = build_patch_statics(cfg, levels)
+        states = [init_patch_state(p) for p in levels]
+        total_cells = sum(p.n_cells for p in levels)
+    else:
+        mesh, params, levels = setup_case(cfg)
+        states, statics = build_all(cfg, params, levels)
+        log.info(hbm_report(levels, statics))
+        total_cells = sum(g.n_cells for g in levels)
     log.info(
         "[Info] Re = %.0f, levels = %d, tau = %s",
         params.re_number,
         params.num_levels,
         ", ".join(f"{t:.6f}" for t in params.tau_levels),
     )
-
-    states, statics = build_all(cfg, params, levels)
-    log.info(hbm_report(levels, statics))
-    total_cells = sum(g.n_cells for g in levels)
-    log.info("[Info] total cells: %.2f M", total_cells / 1e6)
+    log.info("[Info] total cells: %.2f M (layout=%s)", total_cells / 1e6, cfg.layout)
 
     out_dir = cfg.output_path
     resume_step = 0
@@ -90,10 +116,18 @@ def solve_case(cfg: CaseConfig, quiet: bool = False) -> SolveResult:
         if cfg.forces_enabled:
             write_forces_header(force_csv)
 
-    force_ctx = (
-        make_force_context(mesh, levels[-1], params) if cfg.forces_enabled else None
-    )
-    run = make_batch_runner(cfg, params, statics)
+    if cfg.forces_enabled:
+        force_ctx = (
+            make_force_context_dense(mesh, levels[-1], params)
+            if dense
+            else make_force_context(mesh, levels[-1], params)
+        )
+    else:
+        force_ctx = None
+    if dense:
+        run = make_batch_runner_dense(cfg, params, levels, statics)
+    else:
+        run = make_batch_runner(cfg, params, statics)
 
     log.info("[Run] steps=%d ramp=%d diag=%d vtk=%d",
              cfg.steps, cfg.ramp_steps, cfg.diag_freq, cfg.output_freq)
@@ -123,7 +157,8 @@ def solve_case(cfg: CaseConfig, quiet: bool = False) -> SolveResult:
             now = time.time()
             mlups = total_cells * cfg.diag_freq / max(now - last_diag_time, 1e-9) / 1e6
             last_diag_time = now
-            stats = compute_flow_stats(states[0], statics[0]["obstacle"])
+            obs0 = statics[0]["obstacle"]
+            stats = compute_flow_stats(states[0], obs0.reshape(states[0]["rho"].shape))
             final_stats = stats
             t_phys = t_done * params.time_scale
             u_curr = _ramp_host(t_done, cfg)
@@ -147,10 +182,16 @@ def solve_case(cfg: CaseConfig, quiet: bool = False) -> SolveResult:
                     log.warning("[Stability] step %d: %s", t_done, w)
 
         if t_done % cfg.output_freq == 0:
-            export_flow_vtu(
-                os.path.join(out_dir, f"flow_{t_done:06d}.vtu"),
-                levels, states, cfg.output_fields,
-            )
+            if dense:
+                export_flow_vtu_patches(
+                    os.path.join(out_dir, f"flow_{t_done:06d}.vtu"),
+                    levels, states, cfg.output_fields,
+                )
+            else:
+                export_flow_vtu(
+                    os.path.join(out_dir, f"flow_{t_done:06d}.vtu"),
+                    levels, states, cfg.output_fields,
+                )
             if force_ctx is not None:
                 if last_forces is None or t_done % cfg.diag_freq != 0:
                     last_forces = compute_aerodynamics(states[-1], force_ctx)

@@ -3,7 +3,9 @@ Pallas interpret-mode kernels run without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend even when the environment pre-selects a TPU platform
+# (the image's sitecustomize sets JAX_PLATFORMS before we get a say).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
