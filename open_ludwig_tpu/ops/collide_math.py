@@ -55,7 +55,10 @@ def hash_noise(gy, gz, t_seed, salt=1234):
     h = (h ^ (h >> 16)) * np.uint32(0x85EBCA6B)
     h = (h ^ (h >> 13)) * np.uint32(0xC2B2AE35)
     h = h ^ (h >> 16)
-    return (h & np.uint32(0xFFFF)).astype(jnp.float32) / 32768.0 - 1.0
+    # via int32: Mosaic lacks a direct uint32 -> float32 cast, and the masked
+    # value fits in 16 bits anyway
+    low = (h & np.uint32(0xFFFF)).astype(jnp.int32)
+    return low.astype(jnp.float32) / 32768.0 - 1.0
 
 
 def collide(
@@ -187,4 +190,199 @@ def collide(
     f_out = jnp.where(obstacle[None, :], f_bb, f_coll)
     rho_out = jnp.where(obstacle, 1.0, rho)
     vel_out = jnp.where(obstacle[None, :], 0.0, u)
+    return f_out, rho_out, vel_out
+
+
+def collide_unrolled(
+    f_list,  # list of 27 arrays, any common shape S (post-streaming)
+    vel_nbrs,  # 6 tuples/stacks (3, *S): E, W, N, S, T, B
+    obstacle,  # (*S,) bool
+    sponge,
+    wall_dist,
+    u_inlet,
+    *,
+    tau: float,
+    c_wale: float,
+    nu_sgs_background: float,
+    wall_model: bool,
+    sponge_blend: bool,
+):
+    """Same physics as collide() but unrolled over the 27 directions with no
+    (27, N) stacking: per-k arrays stay register-resident under fusion, and
+    the direction-space contractions become 27-term scalar-weighted sums.
+    Preferred form for the Pallas kernel (and faster under plain XLA too).
+
+    Returns (f_out_list, rho_out, vel_out(3, *S))."""
+    W = [float(w) for w in lat.W64]
+    CXi = [int(c) for c in lat.C_X]
+    CYi = [int(c) for c in lat.C_Y]
+    CZi = [int(c) for c in lat.C_Z]
+
+    def wsum(coeffs):
+        acc = None
+        for k in range(27):
+            c = coeffs[k]
+            if c == 0:
+                continue
+            term = f_list[k] if c == 1 else (-f_list[k] if c == -1 else c * f_list[k])
+            acc = term if acc is None else acc + term
+        return acc
+
+    # raw streamed values for the obstacle bounce-back (pre-sponge-blend,
+    # like the reference's obstacle branch)
+    f_raw = f_list
+
+    rho_raw = jnp.maximum(wsum([1.0] * 27), 0.01)
+    jx = wsum(CXi)
+    jy = wsum(CYi)
+    jz = wsum(CZi)
+    inv_rho_raw = 1.0 / rho_raw
+    ux, uy, uz = jx * inv_rho_raw, jy * inv_rho_raw, jz * inv_rho_raw
+
+    one_m = 1.0 - sponge
+    rho = rho_raw * one_m + sponge
+    ux = ux * one_m + u_inlet * sponge
+    uy = uy * one_m
+    uz = uz * one_m
+    if sponge_blend:
+        fl = []
+        for k in range(27):
+            cu_t = CXi[k] * u_inlet
+            feq_t = W[k] * (1.0 + 3.0 * cu_t + 4.5 * cu_t * cu_t - 1.5 * u_inlet * u_inlet)
+            fl.append(f_list[k] * one_m + feq_t * sponge)
+        f_list = fl
+
+    if wall_model:
+        wd = wall_dist
+        u_mag = jnp.sqrt(ux * ux + uy * uy + uz * uz)
+        nu_visc = (tau - 0.5) / 3.0
+        u_tau = (
+            u_mag
+            * (nu_visc / (wd * u_mag + 1e-10)) ** (1.0 / 7.0)
+            * (2.0 * 8.3) ** (-1.0 / 7.0)
+        )
+        u_tau = jnp.maximum(u_tau, 1e-6)
+        y_p = u_tau * wd / nu_visc
+        u_plus_law = (1.0 / KAPPA) * jnp.log(jnp.maximum(y_p, 1e-10)) + 5.2
+        corr = jnp.where(
+            (y_p > 11.81) & (u_plus_law > 0.1),
+            (u_mag / u_tau) / jnp.maximum(u_plus_law, 0.1),
+            1.0,
+        )
+        u_tau = jnp.maximum(u_tau * corr, 1e-6)
+        tau_wall = rho * u_tau * u_tau
+        tau_res = rho * nu_visc * u_mag / jnp.maximum(wd, 1e-10)
+        active = (
+            (wd > 0.0) & (wd < 10.0) & (u_mag > 1e-6)
+            & (tau_wall > tau_res) & (nu_visc > 1e-10)
+        )
+        fm = jnp.where(active, (tau_wall - tau_res) / jnp.maximum(wd, 1e-10), 0.0)
+        inv_umag = 1.0 / jnp.maximum(u_mag, 1e-20)
+        Fx, Fy, Fz = -fm * ux * inv_umag, -fm * uy * inv_umag, -fm * uz * inv_umag
+        ux_eq = ux + 0.5 * Fx * inv_rho_raw
+        uy_eq = uy + 0.5 * Fy * inv_rho_raw
+        uz_eq = uz + 0.5 * Fz * inv_rho_raw
+    else:
+        Fx = Fy = Fz = None
+        ux_eq, uy_eq, uz_eq = ux, uy, uz
+    usq_eq = ux_eq * ux_eq + uy_eq * uy_eq + uz_eq * uz_eq
+
+    vE, vW_, vN, vS_, vT, vB = vel_nbrs
+    g11, g12, g13 = 0.5 * (vE[0] - vW_[0]), 0.5 * (vN[0] - vS_[0]), 0.5 * (vT[0] - vB[0])
+    g21, g22, g23 = 0.5 * (vE[1] - vW_[1]), 0.5 * (vN[1] - vS_[1]), 0.5 * (vT[1] - vB[1])
+    g31, g32, g33 = 0.5 * (vE[2] - vW_[2]), 0.5 * (vN[2] - vS_[2]), 0.5 * (vT[2] - vB[2])
+
+    gsq11 = g11 * g11 + g12 * g21 + g13 * g31
+    gsq12 = g11 * g12 + g12 * g22 + g13 * g32
+    gsq13 = g11 * g13 + g12 * g23 + g13 * g33
+    gsq21 = g21 * g11 + g22 * g21 + g23 * g31
+    gsq22 = g21 * g12 + g22 * g22 + g23 * g32
+    gsq23 = g21 * g13 + g22 * g23 + g23 * g33
+    gsq31 = g31 * g11 + g32 * g21 + g33 * g31
+    gsq32 = g31 * g12 + g32 * g22 + g33 * g32
+    gsq33 = g31 * g13 + g32 * g23 + g33 * g33
+
+    tr_term = (gsq11 + gsq22 + gsq33) / 3.0
+    Sd11, Sd22, Sd33 = gsq11 - tr_term, gsq22 - tr_term, gsq33 - tr_term
+    Sd12 = 0.5 * (gsq12 + gsq21)
+    Sd13 = 0.5 * (gsq13 + gsq31)
+    Sd23 = 0.5 * (gsq23 + gsq32)
+    S12 = 0.5 * (g12 + g21)
+    S13 = 0.5 * (g13 + g31)
+    S23 = 0.5 * (g23 + g32)
+
+    OP1 = Sd11**2 + Sd22**2 + Sd33**2 + 2.0 * (Sd12**2 + Sd13**2 + Sd23**2)
+    OP2 = g11**2 + g22**2 + g33**2 + 2.0 * (S12**2 + S13**2 + S23**2)
+    OP1_32 = OP1 * jnp.sqrt(OP1)
+    OP2_52 = OP2 * OP2 * jnp.sqrt(jnp.maximum(OP2, 1e-12))
+    denom = OP2_52 + OP1 * jnp.sqrt(jnp.sqrt(jnp.maximum(OP1, 1e-12)))
+    nu_eddy = jnp.where(
+        (OP1 > 1e-12) & (denom > 1e-12),
+        (c_wale * c_wale) * OP1_32 / jnp.maximum(denom, 1e-12),
+        0.0,
+    )
+    nu_eddy = jnp.maximum(nu_eddy, nu_sgs_background)
+    omega = 1.0 / jnp.maximum(tau + nu_eddy * 3.0, 0.500001)
+
+    # pass 2: equilibrium + non-equilibrium stress accumulation
+    feq_list = []
+    Pi_xx = Pi_yy = Pi_zz = Pi_xy = Pi_yz = Pi_zx = None
+    for k in range(27):
+        cx, cy, cz = CXi[k], CYi[k], CZi[k]
+        cu = cx * ux_eq + cy * uy_eq + cz * uz_eq if (cx or cy or cz) else 0.0
+        feq = rho * W[k] * (1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * usq_eq) \
+            if (cx or cy or cz) else rho * W[k] * (1.0 - 1.5 * usq_eq)
+        feq_list.append(feq)
+        fneq = f_list[k] - feq
+
+        def acc(a, term):
+            return term if a is None else a + term
+
+        if cx * cx:
+            Pi_xx = acc(Pi_xx, fneq)
+        if cy * cy:
+            Pi_yy = acc(Pi_yy, fneq)
+        if cz * cz:
+            Pi_zz = acc(Pi_zz, fneq)
+        if cx * cy:
+            Pi_xy = acc(Pi_xy, fneq if cx * cy == 1 else -fneq)
+        if cy * cz:
+            Pi_yz = acc(Pi_yz, fneq if cy * cz == 1 else -fneq)
+        if cz * cx:
+            Pi_zx = acc(Pi_zx, fneq if cz * cx == 1 else -fneq)
+
+    one_m_om = 1.0 - omega
+    if Fx is not None:
+        guo = 1.0 - 0.5 * omega
+        uF = ux * Fx + uy * Fy + uz * Fz
+
+    CS2 = 1.0 / 3.0
+    f_out = []
+    rho_out = jnp.where(obstacle, 1.0, rho)
+    vel_out = jnp.stack(
+        [
+            jnp.where(obstacle, 0.0, ux),
+            jnp.where(obstacle, 0.0, uy),
+            jnp.where(obstacle, 0.0, uz),
+        ]
+    )
+    for k in range(27):
+        cx, cy, cz = CXi[k], CYi[k], CZi[k]
+        q = (cx * cx - CS2) * Pi_xx + (cy * cy - CS2) * Pi_yy + (cz * cz - CS2) * Pi_zz
+        if cx * cy:
+            q = q + 2.0 * cx * cy * Pi_xy
+        if cy * cz:
+            q = q + 2.0 * cy * cz * Pi_yz
+        if cz * cx:
+            q = q + 2.0 * cz * cx * Pi_zx
+        freg = W[k] * 4.5 * q
+        fc = feq_list[k] + one_m_om * freg
+        if Fx is not None:
+            cu = cx * ux_eq + cy * uy_eq + cz * uz_eq
+            cF = cx * Fx + cy * Fy + cz * Fz
+            ft = 3.0 * W[k] * (cF * (1.0 + 3.0 * cu) - uF)
+            fc = fc + guo * ft
+        # obstacle cells: full bounce-back of the raw (pre-sponge-blend)
+        # streamed value, reference: src/physics_kernels.jl:154-166
+        f_out.append(jnp.where(obstacle, f_raw[int(lat.OPP[k])], fc))
     return f_out, rho_out, vel_out

@@ -23,6 +23,7 @@ from .ops.dense_step import (
     dense_stream_collide,
     interface_plane,
 )
+from .ops.pallas_step import make_pallas_step, prepare_pallas_statics
 from .ops.stream_collide import apply_bouzidi
 from .scaling import DomainParams
 from .solver import ramp_velocity
@@ -43,23 +44,50 @@ def init_patch_state(patch: PatchLevel) -> Dict:
 def build_patch_statics(cfg: CaseConfig, patches: List[PatchLevel]) -> List[Dict]:
     statics = []
     for p in patches:
-        statics.append(
-            {
-                "obstacle": jnp.asarray(p.obstacle.reshape(-1)),
-                "sponge": jnp.asarray(p.sponge.reshape(-1)),
-                "wall_dist": jnp.asarray(p.wall_dist.reshape(-1)),
-                "bouzidi": build_bouzidi_patch_plan(p, cfg.q_min_threshold),
-            }
-        )
+        st = {
+            "obstacle": jnp.asarray(p.obstacle.reshape(-1)),
+            "sponge": jnp.asarray(p.sponge.reshape(-1)),
+            "wall_dist": jnp.asarray(p.wall_dist.reshape(-1)),
+            "bouzidi": build_bouzidi_patch_plan(p, cfg.q_min_threshold),
+        }
+        st.update(prepare_pallas_statics(p))
+        statics.append(st)
     return statics
+
+
+# VMEM budget for the Pallas plane window (bytes); levels whose plane exceeds
+# it fall back to the XLA dense path
+_PALLAS_VMEM_BUDGET = 10 * 2**20
+
+
+def _pallas_fits(p: PatchLevel) -> bool:
+    m = p.padded[1] * p.padded[2]
+    return 4 * (27 + 3) * m * 4 < _PALLAS_VMEM_BUDGET
 
 
 def make_coarse_step_dense(
     cfg: CaseConfig, params: DomainParams, patches: List[PatchLevel],
-    statics: List[Dict],
+    statics: List[Dict], use_pallas: bool = None,
 ):
     n_levels = len(patches)
     use_temporal = cfg.temporal_interpolation
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    psteps = []
+    for p in patches:
+        if use_pallas and _pallas_fits(p):
+            psteps.append(
+                make_pallas_step(
+                    p,
+                    c_wale=cfg.c_wale,
+                    nu_sgs_background=cfg.nu_sgs_background,
+                    inlet_turbulence=cfg.inlet_turbulence_intensity,
+                    wall_model=cfg.wall_model_enabled,
+                    sponge_blend=cfg.sponge_blend_distributions,
+                )
+            )
+        else:
+            psteps.append(None)
 
     def coarse_step(states: List[Dict], t):
         states = list(states)
@@ -79,17 +107,22 @@ def make_coarse_step_dense(
                             temporal_weight, use_temporal,
                         )
             st = states[lvl]
-            f_new, rho_new, vel_new = dense_stream_collide(
-                st["f"], st["vel"], u_curr,
-                (t_sub % 1000000).astype(jnp.int32),
-                static, patch,
-                c_wale=cfg.c_wale,
-                nu_sgs_background=cfg.nu_sgs_background,
-                inlet_turbulence=cfg.inlet_turbulence_intensity,
-                wall_model=cfg.wall_model_enabled,
-                sponge_blend=cfg.sponge_blend_distributions,
-                iface=iface,
-            )
+            seed = (t_sub % 1000000).astype(jnp.int32)
+            if psteps[lvl] is not None:
+                f_new, rho_new, vel_new = psteps[lvl](
+                    st["f"], st["vel"], u_curr, seed, static, iface
+                )
+            else:
+                f_new, rho_new, vel_new = dense_stream_collide(
+                    st["f"], st["vel"], u_curr, seed,
+                    static, patch,
+                    c_wale=cfg.c_wale,
+                    nu_sgs_background=cfg.nu_sgs_background,
+                    inlet_turbulence=cfg.inlet_turbulence_intensity,
+                    wall_model=cfg.wall_model_enabled,
+                    sponge_blend=cfg.sponge_blend_distributions,
+                    iface=iface,
+                )
             if static["bouzidi"] is not None:
                 f_new = apply_bouzidi(f_new, static["bouzidi"])
             states[lvl] = {"f": f_new, "rho": rho_new, "vel": vel_new}
