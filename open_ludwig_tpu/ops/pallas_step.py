@@ -62,6 +62,30 @@ def prepare_pallas_statics(patch: PatchLevel) -> Dict:
     }
 
 
+def shift_iface_planes(iface: Dict[int, jnp.ndarray], patch: PatchLevel) -> Dict:
+    """Pre-apply the per-direction (1-c) shifts to interface ghost planes so
+    the kernel only does aligned static reads:
+      face 0/1 (x): (27, YS, ZS) value for dest (., y, z)
+      face 2/3 (y): (27, XS, ZS) value rows indexed by the grid step
+      face 4/5 (z): (27, XS, YS)
+    """
+    XS, YS, ZS = patch.padded
+    out = {}
+    for face, pl_arr in iface.items():
+        ax = face // 2
+        rows = []
+        for k in range(27):
+            cx, cy, cz = int(lat.C_X[k]), int(lat.C_Y[k]), int(lat.C_Z[k])
+            if ax == 0:
+                rows.append(pl_arr[k, 1 - cy : 1 - cy + YS, 1 - cz : 1 - cz + ZS])
+            elif ax == 1:
+                rows.append(pl_arr[k, 1 - cx : 1 - cx + XS, 1 - cz : 1 - cz + ZS])
+            else:
+                rows.append(pl_arr[k, 1 - cx : 1 - cx + XS, 1 - cy : 1 - cy + YS])
+        out[face] = jnp.stack(rows)
+    return out
+
+
 def make_pallas_step(
     patch: PatchLevel,
     *,
@@ -76,14 +100,18 @@ def make_pallas_step(
     X, Y, Z = patch.interior
     fb = patch.face_bc
 
+    need_iface = tuple(fc for fc in range(6) if fb[fc] == BC_INTERFACE)
+
     def kernel(
         u_ref, seed_ref,  # scalar prefetch (SMEM)
         f_hbm, vel_hbm,  # ANY (manual DMA)
         obstacle_ref, sponge_ref, wall_ref,  # (1, YS, ZS) VMEM blocks
-        ifx0, ifx1, ify0, ify1, ifz0, ifz1,  # interface planes (VMEM)
-        fout_ref, rho_ref, velout_ref,  # output blocks at plane x
-        fwin, vwin, sems,  # scratch
+        *rest,  # iface refs (one per interface face), outputs, scratch
     ):
+        n_if = len(need_iface)
+        iface_refs = dict(zip(need_iface, rest[:n_if]))
+        fout_ref, rho_ref, velout_ref = rest[n_if : n_if + 3]
+        fwin, vwin, sems = rest[n_if + 3 :]
         xi = pl.program_id(0)
         iy2 = jax.lax.broadcasted_iota(jnp.int32, (YS, ZS), 0)
         iz2 = jax.lax.broadcasted_iota(jnp.int32, (YS, ZS), 1)
@@ -152,20 +180,16 @@ def make_pallas_step(
         else:
             inlet_factor = None
 
-        iface_refs = {0: ifx0, 1: ifx1, 2: ify0, 3: ify1, 4: ifz0, 5: ifz1}
-
         def face_value(k, face):
             cx, cy, cz = int(lat.C_X[k]), int(lat.C_Y[k]), int(lat.C_Z[k])
             bc = fb[face]
             if bc == BC_INTERFACE:
-                pr = iface_refs[face]
+                pr = iface_refs[face]  # pre-shifted by shift_iface_planes
                 if face // 2 == 0:
-                    return pr[k, 1 - cy : 1 - cy + YS, 1 - cz : 1 - cz + ZS]
+                    return pr[k]  # (YS, ZS)
                 if face // 2 == 1:
-                    row = pr[k, pl.ds(xi + 1 - cx, 1), 1 - cz : 1 - cz + ZS]
-                    return jnp.broadcast_to(row.reshape(1, ZS), (YS, ZS))
-                row = pr[k, pl.ds(xi + 1 - cx, 1), 1 - cy : 1 - cy + YS]
-                return jnp.broadcast_to(row.reshape(YS, 1), (YS, ZS))
+                    return jnp.broadcast_to(pr[k, 0].reshape(1, ZS), (YS, ZS))
+                return jnp.broadcast_to(pr[k, 0].reshape(YS, 1), (YS, ZS))
             if bc == BC_INLET:
                 return float(lat.W[k]) * inlet_factor
             if bc == BC_OUTLET:
@@ -241,11 +265,18 @@ def make_pallas_step(
         velout_ref[:, 0] = vel_out
 
     def step(f, vel, u_inlet, t_seed, statics3d, iface: Optional[Dict] = None):
-        iface = iface or {}
-        dummy = jnp.zeros((27, 1, 128), jnp.float32)
-
-        def ifc(face):
-            return iface.get(face, dummy)
+        iface = shift_iface_planes(iface or {}, patch)
+        iface_specs = []
+        iface_vals = []
+        for fc in need_iface:
+            if fc // 2 == 0:
+                iface_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            else:
+                B = ZS if fc // 2 == 1 else YS
+                iface_specs.append(
+                    pl.BlockSpec((27, 1, B), lambda i, *_: (0, i, 0))
+                )
+            iface_vals.append(iface[fc])
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -257,7 +288,7 @@ def make_pallas_step(
                 pl.BlockSpec((1, YS, ZS), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec((1, YS, ZS), lambda i, *_: (i, 0, 0)),
             ]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)],
+            + iface_specs,
             out_specs=[
                 pl.BlockSpec((27, 1, YS, ZS), lambda i, *_: (0, i, 0, 0)),
                 pl.BlockSpec((1, YS, ZS), lambda i, *_: (i, 0, 0)),
@@ -277,6 +308,9 @@ def make_pallas_step(
                 jax.ShapeDtypeStruct((XS, YS, ZS), jnp.float32),
                 jax.ShapeDtypeStruct((3, XS, YS, ZS), jnp.float32),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20,
+            ),
             interpret=interpret,
         )(
             jnp.asarray(u_inlet, jnp.float32).reshape(1),
@@ -286,7 +320,7 @@ def make_pallas_step(
             statics3d["obstacle_u8"],
             statics3d["sponge3d"],
             statics3d["wall3d"],
-            ifc(0), ifc(1), ifc(2), ifc(3), ifc(4), ifc(5),
+            *iface_vals,
         )
         return fo, rho, vo
 

@@ -56,8 +56,10 @@ def build_patch_statics(cfg: CaseConfig, patches: List[PatchLevel]) -> List[Dict
 
 
 # VMEM budget for the Pallas plane window (bytes); levels whose plane exceeds
-# it fall back to the XLA dense path
-_PALLAS_VMEM_BUDGET = 10 * 2**20
+# it fall back to the XLA dense path.  The kernel requests a 100 MiB scoped
+# vmem limit (v5e has >= 128 MiB physical); the window plus pipelined
+# in/out blocks must stay under it.
+_PALLAS_VMEM_BUDGET = 60 * 2**20
 
 
 def _pallas_fits(p: PatchLevel) -> bool:
