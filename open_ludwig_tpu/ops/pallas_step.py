@@ -187,9 +187,10 @@ def make_pallas_step(
                 pr = iface_refs[face]  # pre-shifted by shift_iface_planes
                 if face // 2 == 0:
                     return pr[k]  # (YS, ZS)
+                row = pr[k, pl.ds(xi, 1), :]  # dynamic sublane, full lanes
                 if face // 2 == 1:
-                    return jnp.broadcast_to(pr[k, 0].reshape(1, ZS), (YS, ZS))
-                return jnp.broadcast_to(pr[k, 0].reshape(YS, 1), (YS, ZS))
+                    return jnp.broadcast_to(row.reshape(1, ZS), (YS, ZS))
+                return jnp.broadcast_to(row.reshape(YS, 1), (YS, ZS))
             if bc == BC_INLET:
                 return float(lat.W[k]) * inlet_factor
             if bc == BC_OUTLET:
@@ -269,13 +270,7 @@ def make_pallas_step(
         iface_specs = []
         iface_vals = []
         for fc in need_iface:
-            if fc // 2 == 0:
-                iface_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-            else:
-                B = ZS if fc // 2 == 1 else YS
-                iface_specs.append(
-                    pl.BlockSpec((27, 1, B), lambda i, *_: (0, i, 0))
-                )
+            iface_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             iface_vals.append(iface[fc])
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
