@@ -62,13 +62,15 @@ def main():
     )
     run = make_batch_runner_dense(cfg, params, levels, statics)
 
-    # warmup + compile
-    states = run(states, np.int32(1), 20)
+    # warmup + compile (same static batch length as the timed calls)
+    batch = 50
+    states = run(states, np.int32(1), batch)
     jax.block_until_ready(states[0]["rho"])
 
     n_timed = 200
     t0 = time.time()
-    states = run(states, np.int32(21), n_timed)
+    for i in range(n_timed // batch):
+        states = run(states, np.int32(batch + 1 + i * batch), batch)
     jax.block_until_ready(states[0]["rho"])
     dt = time.time() - t0
 

@@ -134,6 +134,21 @@ def build_patches(
             blo = np.maximum(blo, 0) // 2 * 2
             bhi = np.minimum(bhi, np.asarray(dom, np.int64))
             bhi = (bhi + 1) // 2 * 2
+            # grow extents toward the TPU tile so lane/sublane padding becomes
+            # REAL refined cells instead of dead compute: z to multiples of
+            # 128, y to multiples of 8 (within parent containment bounds)
+            lo_bound = np.maximum(2 * (plo + 2), 0) // 2 * 2
+            hi_bound = np.minimum(2 * (phi - 2), np.asarray(dom, np.int64))
+            hi_bound = hi_bound // 2 * 2
+            for ax, tile in ((2, 128), (1, 8)):
+                ext = bhi[ax] - blo[ax]
+                grow = -(-ext // tile) * tile - ext  # even (ext and tile even)
+                g_lo = min(grow // 2, blo[ax] - lo_bound[ax])
+                g_lo -= g_lo % 2
+                g_hi = min(grow - g_lo, hi_bound[ax] - bhi[ax])
+                g_hi -= g_hi % 2
+                blo[ax] -= g_lo
+                bhi[ax] += g_hi
             lo, hi = blo, bhi
 
         interior = tuple(int(v) for v in (hi - lo))

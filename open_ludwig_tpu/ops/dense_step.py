@@ -63,6 +63,113 @@ def _upsample_axis(slab: jnp.ndarray, axis: int, g_start: int, length: int):
     return jax.lax.slice_in_dim(inter, off, off + length, axis=axis)
 
 
+def interface_endpoints(
+    patch: PatchLevel,
+    parent: PatchLevel,
+    p_state: Dict,
+) -> Dict[int, Dict]:
+    """Per interface face: trilinearly upsampled (f, rho, u) ghost planes for
+    ONE parent state.  The temporal blend is linear and commutes with the
+    (linear) slab/upsample pipeline, so the scheduler computes endpoints once
+    per parent step for (old, new) and each fine sub-step only lerps +
+    applies the nonlinear feq/rescale (interface_from_endpoints)."""
+    out = {}
+    for face in range(6):
+        if patch.face_bc[face] != BC_INTERFACE:
+            continue
+        axis = face // 2
+        side = face % 2
+        t_axes = [ax for ax in range(3) if ax != axis]
+        A = patch.padded[t_axes[0]]
+        B = patch.padded[t_axes[1]]
+        g_face = (
+            patch.lo[axis] - 1 if side == 0
+            else patch.lo[axis] + patch.interior[axis]
+        )
+        p0 = g_face // 2 - 1
+        w_face = 0.25 + 0.5 * (g_face % 2)
+        gA0 = patch.lo[t_axes[0]] - 1
+        gB0 = patch.lo[t_axes[1]] - 1
+
+        def slab(arr, lead):
+            idx = [slice(None)] * lead
+            rng = {}
+            pads = {}
+            for ax in range(3):
+                if ax == axis:
+                    lo_l = p0 - parent.lo[ax]
+                    want = (lo_l, lo_l + 2)
+                else:
+                    g0 = gA0 if ax == t_axes[0] else gB0
+                    ln = A + 2 if ax == t_axes[0] else B + 2
+                    j0 = g0 // 2 - 1
+                    j1 = (g0 + ln - 1) // 2
+                    want = (j0 - parent.lo[ax], j1 - parent.lo[ax] + 1)
+                hi_cap = arr.shape[lead + ax]
+                got = (max(want[0], 0), min(want[1], hi_cap))
+                assert got[1] > got[0], (
+                    f"interface slab empty: face {face} axis {ax} wants "
+                    f"{want}, parent extent {hi_cap}"
+                )
+                rng[ax] = got
+                pads[ax] = (got[0] - want[0], want[1] - got[1])
+            sl = arr[tuple(idx) + (slice(*rng[0]), slice(*rng[1]), slice(*rng[2]))]
+            pad_spec = [(0, 0)] * lead + [pads[0], pads[1], pads[2]]
+            if any(pp != (0, 0) for pp in pad_spec):
+                sl = jnp.pad(sl, pad_spec, mode="edge")
+            perm = list(range(lead)) + [lead + axis] + [lead + ax for ax in t_axes]
+            return jnp.transpose(sl, perm)
+
+        def interp(key, lead):
+            sl = slab(p_state[key], lead)
+            s0 = jax.lax.index_in_dim(sl, 0, lead, keepdims=False)
+            s1 = jax.lax.index_in_dim(sl, 1, lead, keepdims=False)
+            v = (1.0 - w_face) * s0 + w_face * s1
+            v = _upsample_axis(v, lead, gA0, A + 2)
+            v = _upsample_axis(v, lead + 1, gB0, B + 2)
+            return v
+
+        out[face] = {
+            "f": interp("f", 1),       # (27, A+2, B+2)
+            "rho": interp("rho", 0),   # (A+2, B+2)
+            "vel": interp("vel", 1),   # (3, A+2, B+2)
+        }
+    return out
+
+
+def interface_from_endpoints(
+    ep_new: Dict[int, Dict],
+    ep_old: Optional[Dict[int, Dict]],
+    patch: PatchLevel,
+    parent: PatchLevel,
+    temporal_weight: float,
+    use_temporal: bool,
+) -> Dict[int, jnp.ndarray]:
+    """Temporal lerp of endpoint planes + equilibrium split + f_neq rescale
+    (reference: src/physics_interpolation.jl:69-138)."""
+    tau_c = parent.tau - 0.5
+    tau_f = patch.tau - 0.5
+    scale = float(np.clip(tau_f / tau_c, 0.01, 100.0)) if tau_c > 1e-6 else 1.0
+    blend = use_temporal and ep_old is not None and temporal_weight < 0.99
+    tw = jnp.float32(temporal_weight)
+    out = {}
+    for face, new in ep_new.items():
+        if blend:
+            old = ep_old[face]
+            f_int = old["f"] * (1.0 - tw) + new["f"] * tw
+            rho_int = old["rho"] * (1.0 - tw) + new["rho"] * tw
+            u_int = old["vel"] * (1.0 - tw) + new["vel"] * tw
+        else:
+            f_int, rho_int, u_int = new["f"], new["rho"], new["vel"]
+        cu = jnp.einsum("ak,a...->k...", _C, u_int)
+        usq = jnp.sum(u_int * u_int, axis=0)
+        feq = rho_int[None] * _W[:, None, None] * (
+            1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * usq
+        )
+        out[face] = feq + (f_int - feq) * jnp.float32(scale)
+    return out
+
+
 def interface_plane(
     face: int,
     patch: PatchLevel,
@@ -72,93 +179,16 @@ def interface_plane(
     temporal_weight: float,
     use_temporal: bool,
 ) -> jnp.ndarray:
-    """Ghost source plane for one interface face: (27, A+2, B+2) where (A, B)
-    are the padded transverse dims.  Entry [k, a+1, b+1] is the interpolated
-    distribution at the fine ghost cell just outside the face at transverse
-    local coords (a, b)."""
-    axis = face // 2
-    side = face % 2
-    t_axes = [ax for ax in range(3) if ax != axis]
-    A = patch.padded[t_axes[0]]
-    B = patch.padded[t_axes[1]]
-
-    # fine global coordinate of the source (ghost) layer
-    g_face = patch.lo[axis] - 1 if side == 0 else patch.lo[axis] + patch.interior[axis]
-    # parent corner pair along the face axis
-    p0 = g_face // 2 - 1
-    w_face = 0.25 + 0.5 * (g_face % 2)
-
-    # transverse fine ranges: [lo-1, lo+padded] (padded tail values are junk
-    # but never consumed by interior cells)
-    gA0 = patch.lo[t_axes[0]] - 1
-    gB0 = patch.lo[t_axes[1]] - 1
-
-    def slab(arr, lead):  # arr: (*lead, pXS, pYS, pZS) -> (*lead, 2, LA, LB)
-        idx = [slice(None)] * lead
-        rng = {}
-        pads = {}
-        for ax in range(3):
-            if ax == axis:
-                lo_l = p0 - parent.lo[ax]
-                want = (lo_l, lo_l + 2)
-            else:
-                g0 = gA0 if ax == t_axes[0] else gB0
-                ln = A + 2 if ax == t_axes[0] else B + 2
-                j0 = g0 // 2 - 1
-                j1 = (g0 + ln - 1) // 2
-                want = (j0 - parent.lo[ax], j1 - parent.lo[ax] + 1)
-            # clamp into the parent array (the transverse PADDED tail can
-            # overrun the parent box; those fine samples are junk-region
-            # values anyway) and edge-pad back to the expected width
-            hi_cap = arr.shape[lead + ax]
-            got = (max(want[0], 0), min(want[1], hi_cap))
-            assert got[1] > got[0], (
-                f"interface slab empty: face {face} axis {ax} wants {want}, "
-                f"parent extent {hi_cap} — patch not contained in parent"
-            )
-            rng[ax] = got
-            pads[ax] = (got[0] - want[0], want[1] - got[1])
-        sl = arr[
-            tuple(idx)
-            + (slice(*rng[0]), slice(*rng[1]), slice(*rng[2]))
-        ]
-        pad_spec = [(0, 0)] * lead + [pads[0], pads[1], pads[2]]
-        if any(p != (0, 0) for p in pad_spec):
-            sl = jnp.pad(sl, pad_spec, mode="edge")
-        # move the face axis to position `lead`, keep transverse order
-        perm = list(range(lead)) + [lead + axis] + [lead + ax for ax in t_axes]
-        return jnp.transpose(sl, perm)
-
-    def interp(arr, lead):
-        s = slab(arr, lead)
-        # lerp along the face axis (2 entries at dim `lead`)
-        s0 = jax.lax.index_in_dim(s, 0, lead, keepdims=False)
-        s1 = jax.lax.index_in_dim(s, 1, lead, keepdims=False)
-        v = (1.0 - w_face) * s0 + w_face * s1  # (*lead, LA, LB)
-        v = _upsample_axis(v, lead, gA0, A + 2)
-        v = _upsample_axis(v, lead + 1, gB0, B + 2)
-        return v
-
-    def blend(key):
-        new = p_new[key]
-        if use_temporal and p_old is not None and temporal_weight < 0.99:
-            tw = jnp.float32(temporal_weight)
-            return p_old[key] * (1.0 - tw) + new * tw
-        return new
-
-    f_int = interp(blend("f"), 1)  # (27, A+2, B+2)
-    rho_int = interp(blend("rho"), 0)
-    u_int = interp(blend("vel"), 1)  # (3, A+2, B+2)
-
-    cu = jnp.einsum("ak,a...->k...", _C, u_int)  # (27, A+2, B+2)
-    usq = jnp.sum(u_int * u_int, axis=0)
-    feq = rho_int[None] * _W[:, None, None] * (
-        1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * usq
-    )
-    tau_c = parent.tau - 0.5
-    tau_f = patch.tau - 0.5
-    scale = float(np.clip(tau_f / tau_c, 0.01, 100.0)) if tau_c > 1e-6 else 1.0
-    return feq + (f_int - feq) * jnp.float32(scale)
+    """One-face convenience wrapper over the endpoints pipeline (kept for the
+    tests and the standalone XLA path)."""
+    ep_new = {face: interface_endpoints(patch, parent, p_new)[face]} \
+        if patch.face_bc[face] == BC_INTERFACE else {}
+    ep_old = None
+    if use_temporal and p_old is not None:
+        ep_old = {face: interface_endpoints(patch, parent, p_old)[face]}
+    return interface_from_endpoints(
+        ep_new, ep_old, patch, parent, temporal_weight, use_temporal
+    )[face]
 
 
 def dense_stream_collide(
@@ -359,3 +389,105 @@ def build_bouzidi_patch_plan(patch: PatchLevel, q_min: float) -> Optional[Dict]:
         "coef_a": jnp.asarray(np.concatenate(ca)),
         "coef_b": jnp.asarray(np.concatenate(cb)),
     }
+
+
+def build_bouzidi_dense_plan(patch: PatchLevel, q_min: float) -> Optional[Dict]:
+    """Dense sub-box Bouzidi plan: boundary cells cluster in a tight box
+    around the geometry, so instead of sparse gathers (slow on TPU) the
+    correction becomes masked elementwise math on a (27, bx, by, bz) q-box +
+    one dynamic_update_slice per direction.
+
+    For each direction k with a valid q at a cell (reference:
+    src/bouzidi_kernel.jl:38-88):
+      q < 0.5 : f_out[opp_k] = 2q f*[k] + (1-2q) f*[k] at x_ff
+      q >= 0.5: f_out[opp_k] = 1/(2q) f*[k] + (2q-1)/(2q) f*[opp_k]
+    where f* is the uncorrected post-collision field and x_ff = cell + c_opp.
+    Encoded as A*f[k] + BLO*f[k]@shift + BHI*f[opp_k] with per-case masks.
+    """
+    bz = patch.bouzidi
+    if bz is None or bz.n_boundary_cells == 0:
+        return None
+    X, Y, Z = patch.interior
+    XS, YS, ZS = patch.padded
+    # bounding box of boundary cells, +1 halo for the x_ff shifted reads,
+    # clipped to the padded array (asserted inside the interior)
+    lo = np.array([bz.cell_gx.min(), bz.cell_gy.min(), bz.cell_gz.min()]) - 1
+    hi = np.array([bz.cell_gx.max(), bz.cell_gy.max(), bz.cell_gz.max()]) + 2
+    lo = np.maximum(lo, 0)
+    hi = np.minimum(hi, [XS, YS, ZS])
+    # align the z extent to the lane tile for cheap slicing
+    lo[2] = lo[2] // 128 * 128
+    hi[2] = min(-(-hi[2] // 128) * 128, ZS)
+    lo[1] = lo[1] // 8 * 8
+    hi[1] = min(-(-hi[1] // 8) * 8, YS)
+    bdim = tuple(int(v) for v in (hi - lo))
+
+    q = bz.q_map.astype(np.float32)  # (nc, 27)
+    cx = bz.cell_gx - lo[0]
+    cy = bz.cell_gy - lo[1]
+    cz = bz.cell_gz - lo[2]
+
+    A = np.zeros((27,) + bdim, np.float32)
+    BLO = np.zeros((27,) + bdim, np.float32)
+    BHI = np.zeros((27,) + bdim, np.float32)
+    FFIN = np.zeros((27,) + bdim, np.float32)  # 1 where x_ff inside interior
+    MASK = np.zeros((27,) + bdim, bool)
+    for k in range(27):
+        if k == 13:
+            continue
+        qv = q[:, k]
+        act = (qv > q_min) & (qv <= 1.0)
+        if not act.any():
+            continue
+        sel = np.nonzero(act)[0]
+        qs = qv[sel]
+        x, y, z = cx[sel], cy[sel], cz[sel]
+        lo_case = qs < 0.5
+        MASK[k, x, y, z] = True
+        A[k, x, y, z] = np.where(lo_case, 2.0 * qs, 1.0 / (2.0 * qs))
+        BLO[k, x, y, z] = np.where(lo_case, 1.0 - 2.0 * qs, 0.0)
+        BHI[k, x, y, z] = np.where(lo_case, 0.0, (2.0 * qs - 1.0) / (2.0 * qs))
+        # x_ff = cell + c_opp; fall back to f[k] at the cell when outside
+        gx = bz.cell_gx[sel] + lat.C_X[int(lat.OPP[k])]
+        gy = bz.cell_gy[sel] + lat.C_Y[int(lat.OPP[k])]
+        gz = bz.cell_gz[sel] + lat.C_Z[int(lat.OPP[k])]
+        inside = (
+            (gx >= 0) & (gx < X) & (gy >= 0) & (gy < Y) & (gz >= 0) & (gz < Z)
+        )
+        FFIN[k, x, y, z] = inside.astype(np.float32)
+    return {
+        "lo": tuple(int(v) for v in lo),
+        "dim": bdim,
+        "A": jnp.asarray(A),
+        "BLO": jnp.asarray(BLO),
+        "BHI": jnp.asarray(BHI),
+        "FFIN": jnp.asarray(FFIN),
+        "MASK": jnp.asarray(MASK),
+    }
+
+
+def apply_bouzidi_dense(f_out: jnp.ndarray, plan: Dict) -> jnp.ndarray:
+    """Apply the dense sub-box Bouzidi correction to (27, XS, YS, ZS)."""
+    lx, ly, lz = plan["lo"]
+    bx, by, bz_ = plan["dim"]
+    box = jax.lax.dynamic_slice(f_out, (0, lx, ly, lz), (27, bx, by, bz_))
+    # halo'd box for the shifted f_ff reads (shift by c_opp = -c)
+    new_box = box
+    for k in range(27):
+        if k == 13:
+            continue
+        opp_k = int(lat.OPP[k])
+        cxk, cyk, czk = int(lat.C_X[k]), int(lat.C_Y[k]), int(lat.C_Z[k])
+        # f[k] at cell + c_opp = roll by +c (roll(a, s)[i] = a[i - s])
+        ff = jnp.roll(box[k], (cxk, cyk, czk), axis=(0, 1, 2))
+        ffin = plan["FFIN"][k]
+        other_lo = ff * ffin + box[k] * (1.0 - ffin)
+        val = (
+            plan["A"][k] * box[k]
+            + plan["BLO"][k] * other_lo
+            + plan["BHI"][k] * box[opp_k]
+        )
+        new_box = new_box.at[opp_k].set(
+            jnp.where(plan["MASK"][k], val, new_box[opp_k])
+        )
+    return jax.lax.dynamic_update_slice(f_out, new_box, (0, lx, ly, lz))

@@ -19,9 +19,12 @@ from . import lattice as lat
 from .config import CaseConfig
 from .core.patch import BC_INTERFACE, PatchLevel
 from .ops.dense_step import (
+    apply_bouzidi_dense,
+    build_bouzidi_dense_plan,
     build_bouzidi_patch_plan,
     dense_stream_collide,
-    interface_plane,
+    interface_endpoints,
+    interface_from_endpoints,
 )
 from .ops.pallas_step import make_pallas_step, prepare_pallas_statics
 from .ops.stream_collide import apply_bouzidi
@@ -48,7 +51,7 @@ def build_patch_statics(cfg: CaseConfig, patches: List[PatchLevel]) -> List[Dict
             "obstacle": jnp.asarray(p.obstacle.reshape(-1)),
             "sponge": jnp.asarray(p.sponge.reshape(-1)),
             "wall_dist": jnp.asarray(p.wall_dist.reshape(-1)),
-            "bouzidi": build_bouzidi_patch_plan(p, cfg.q_min_threshold),
+            "bouzidi": build_bouzidi_dense_plan(p, cfg.q_min_threshold),
         }
         st.update(prepare_pallas_statics(p))
         statics.append(st)
@@ -95,19 +98,15 @@ def make_coarse_step_dense(
         states = list(states)
         u_curr = ramp_velocity(t, cfg.u_lattice, cfg.ramp_steps)
 
-        def visit(lvl: int, t_sub, temporal_weight: float, parent_new, parent_old):
+        def visit(lvl: int, t_sub, temporal_weight: float, ep_new, ep_old):
             patch = patches[lvl]
             static = statics[lvl]
             iface = None
             if lvl > 0:
-                iface = {}
-                for face in range(6):
-                    if patch.face_bc[face] == BC_INTERFACE:
-                        iface[face] = interface_plane(
-                            face, patch, patches[lvl - 1],
-                            parent_new, parent_old,
-                            temporal_weight, use_temporal,
-                        )
+                iface = interface_from_endpoints(
+                    ep_new, ep_old, patch, patches[lvl - 1],
+                    temporal_weight, use_temporal,
+                )
             st = states[lvl]
             seed = (t_sub % 1000000).astype(jnp.int32)
             if psteps[lvl] is not None:
@@ -126,13 +125,19 @@ def make_coarse_step_dense(
                     iface=iface,
                 )
             if static["bouzidi"] is not None:
-                f_new = apply_bouzidi(f_new, static["bouzidi"])
+                f_new = apply_bouzidi_dense(f_new, static["bouzidi"])
             states[lvl] = {"f": f_new, "rho": rho_new, "vel": vel_new}
             if lvl + 1 < n_levels:
-                old = st  # pre-step parent state for temporal interpolation
-                new = states[lvl]
-                visit(lvl + 1, 2 * t_sub, 0.0, new, old)
-                visit(lvl + 1, 2 * t_sub + 1, 0.5, new, old)
+                # endpoint ghost planes from the pre/post-step parent state,
+                # computed once and shared by both child sub-steps (the
+                # temporal blend is a cheap plane lerp per sub-step)
+                child = patches[lvl + 1]
+                ep_old = (
+                    interface_endpoints(child, patch, st) if use_temporal else None
+                )
+                ep_new = interface_endpoints(child, patch, states[lvl])
+                visit(lvl + 1, 2 * t_sub, 0.0, ep_new, ep_old)
+                visit(lvl + 1, 2 * t_sub + 1, 0.5, ep_new, ep_old)
 
         visit(0, t, 0.0, None, None)
         return states
