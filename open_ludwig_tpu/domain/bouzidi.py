@@ -48,11 +48,30 @@ def compute_bouzidi(
     grid_dims: Tuple[int, int, int],
     active_cells: np.ndarray,
     chunk: int = 200_000,
+    use_native: bool = True,
 ) -> BouzidiData:
     """verts: (n_tri, 3, 3) in domain coordinates (offset applied).
 
     active_cells: dense bool (X, Y, Z); only cells in active blocks produce
     entries (matching the reference's per-active-block loop)."""
+    if use_native:
+        from ..native import bouzidi_raycast as native_raycast
+
+        res = native_raycast(verts, dx, grid_dims)
+        if res is not None:
+            qd, trid = res
+            qd = np.where(active_cells[..., None], qd, 0.0)
+            hit = (qd > 0).any(axis=-1)
+            cg = np.argwhere(hit)
+            if len(cg) == 0:
+                return _empty()
+            return BouzidiData(
+                cg[:, 0].astype(np.int32),
+                cg[:, 1].astype(np.int32),
+                cg[:, 2].astype(np.int32),
+                qd[hit].astype(np.float16),
+                np.where(qd[hit] > 0, trid[hit], -1).astype(np.int32),
+            )
     reach = dx * np.sqrt(3.0)
     t_min = verts.min(axis=1) - reach
     t_max = verts.max(axis=1) + reach

@@ -61,9 +61,16 @@ def voxelize_dense(
     dx: float,
     grid_dims: Tuple[int, int, int],
     chunk: int = 2_000_000,
+    use_native: bool = True,
 ) -> np.ndarray:
     """Dense (X, Y, Z) bool shell mask.  verts: (n_tri, 3, 3) in domain coords
     (mesh offset already applied).  Cell centers at (g + 0.5) * dx."""
+    if use_native:
+        from ..native import voxelize_sat as native_voxelize
+
+        out = native_voxelize(verts, dx, grid_dims)
+        if out is not None:
+            return out
     X, Y, Z = grid_dims
     obstacle = np.zeros(grid_dims, bool)
     h = 0.75 * dx * 1.001

@@ -1,0 +1,178 @@
+"""Dense-patch builder invariants, Pallas kernel (interpret mode) vs the XLA
+dense path, dense-vs-sparse Bouzidi equivalence, and the sharded dense step
+on a virtual device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from open_ludwig_tpu import lattice as lat
+from open_ludwig_tpu.config import CaseConfig
+from open_ludwig_tpu.core.patch import (
+    BC_INLET,
+    BC_INTERFACE,
+    BC_MIRROR_Y,
+    BC_MIRROR_Z,
+    BC_OUTLET,
+    PatchLevel,
+    build_patches,
+)
+from open_ludwig_tpu.domain.bouzidi import BouzidiData
+from open_ludwig_tpu.geometry import load_mesh, make_icosphere, save_binary_stl
+from open_ludwig_tpu.ops.dense_step import (
+    apply_bouzidi_dense,
+    build_bouzidi_dense_plan,
+    build_bouzidi_patch_plan,
+    dense_stream_collide,
+)
+from open_ludwig_tpu.ops.pallas_step import make_pallas_step, prepare_pallas_statics
+from open_ludwig_tpu.ops.stream_collide import apply_bouzidi
+from open_ludwig_tpu.scaling import compute_domain_params
+
+
+def _patch(interior, tau=0.52, lo=(0, 0, 0), face_bc=None, level_id=1):
+    X, Y, Z = interior
+    XS, YS, ZS = X, -(-Y // 8) * 8, -(-Z // 128) * 128
+    return PatchLevel(
+        level_id, 0.1, tau, lo, interior, (XS, YS, ZS),
+        tuple(face_bc or (BC_INLET, BC_OUTLET, BC_MIRROR_Y, BC_MIRROR_Y,
+                          BC_MIRROR_Z, BC_MIRROR_Z)),
+        np.zeros((XS, YS, ZS), bool),
+        np.zeros((XS, YS, ZS), np.float32),
+        np.full((XS, YS, ZS), 100.0, np.float32),
+    )
+
+
+def test_patch_builder_invariants(tmp_path):
+    verts = make_icosphere(0.5, subdiv=2)
+    save_binary_stl(str(tmp_path / "s.stl"), verts)
+    cfg = CaseConfig(
+        case_dir=str(tmp_path), stl_file="s.stl", surface_resolution=24,
+        num_levels=3, reference_length_for_meshing=1.0, flow_velocity=10.0,
+        u_lattice=0.05, steps=1, ramp_steps=1, output_freq=10,
+        domain_upstream=1.5, domain_downstream=2.0, domain_lateral=1.5,
+        domain_height=1.5, wake_enabled=True,
+    )
+    mesh = load_mesh(cfg.stl_path)
+    params = compute_domain_params(cfg, mesh.min_bounds, mesh.max_bounds)
+    patches = build_patches(cfg, mesh, params)
+    assert len(patches) == params.num_levels
+    # level 1 covers the whole domain
+    assert patches[0].lo == (0, 0, 0)
+    assert patches[0].interior == (params.nx_coarse, params.ny_coarse, params.nz_coarse)
+    for i in range(1, len(patches)):
+        c, p = patches[i], patches[i - 1]
+        # even alignment
+        assert all(v % 2 == 0 for v in c.lo)
+        # containment with interpolation margin: parent cells down to
+        # (lo-1)//2 - 1 must exist inside the parent interior
+        for ax in range(3):
+            lo_need = (c.lo[ax] - 1) // 2 - 1
+            hi_need = (c.lo[ax] + c.interior[ax]) // 2 + 1
+            if c.face_bc[2 * ax] == BC_INTERFACE:
+                assert lo_need >= p.lo[ax]
+            if c.face_bc[2 * ax + 1] == BC_INTERFACE:
+                assert hi_need <= p.lo[ax] + p.interior[ax]
+        # padded dims tile-aligned
+        assert c.padded[1] % 8 == 0 and c.padded[2] % 128 == 0
+        # geometry is inside the fine patch
+    fin = patches[-1]
+    assert fin.obstacle[: fin.interior[0], : fin.interior[1], : fin.interior[2]].any()
+
+
+def test_pallas_matches_dense_interpret(rng):
+    X, Y, Z = 8, 8, 120
+    p = _patch((X, Y, Z), tau=0.53)
+    p.obstacle[3:5, 3:5, 50:54] = True
+    p.sponge[6:, :, :] = 0.3
+    p.wall_dist[2, 3, 49] = 1.0
+    f0 = (lat.W[:, None, None, None] * (1 + 0.05 * rng.standard_normal(
+        (27,) + p.padded))).astype(np.float32)
+    v0 = (0.02 * rng.standard_normal((3,) + p.padded)).astype(np.float32)
+    static_flat = {
+        "obstacle": jnp.asarray(p.obstacle.reshape(-1)),
+        "sponge": jnp.asarray(p.sponge.reshape(-1)),
+        "wall_dist": jnp.asarray(p.wall_dist.reshape(-1)),
+        "bouzidi": None,
+    }
+    kw = dict(c_wale=0.5, nu_sgs_background=5e-4, inlet_turbulence=0.02,
+              wall_model=True, sponge_blend=True)
+    fj, vj = jnp.asarray(f0), jnp.asarray(v0)
+    u, s = jnp.float32(0.04), jnp.int32(9)
+    f_ref, r_ref, v_ref = dense_stream_collide(fj, vj, u, s, static_flat, p, **kw)
+    pstep = make_pallas_step(p, interpret=True, **kw)
+    f_pl, r_pl, v_pl = pstep(fj, vj, u, s, prepare_pallas_statics(p))
+    X_, Y_, Z_ = p.interior
+    d = np.abs(np.asarray(f_pl)[:, :X_, :Y_, :Z_] - np.asarray(f_ref)[:, :X_, :Y_, :Z_])
+    assert d.max() < 1e-5, d.max()
+
+
+def test_bouzidi_dense_matches_sparse(rng):
+    X, Y, Z = 16, 16, 120
+    nc = 40
+    cells = np.unique(
+        np.stack([
+            rng.integers(4, 12, nc), rng.integers(4, 12, nc),
+            rng.integers(40, 80, nc),
+        ], 1), axis=0,
+    ).astype(np.int32)
+    q = np.zeros((len(cells), 27), np.float16)
+    mask = rng.random((len(cells), 27)) < 0.3
+    q[mask] = rng.uniform(0.05, 1.0, mask.sum()).astype(np.float16)
+    q[:, 13] = 0
+    bz = BouzidiData(cells[:, 0], cells[:, 1], cells[:, 2], q,
+                     np.full((len(cells), 27), -1, np.int32))
+    p = _patch((X, Y, Z))
+    p.bouzidi = bz
+    sp = build_bouzidi_patch_plan(p, 0.001)
+    dn = build_bouzidi_dense_plan(p, 0.001)
+    f = jnp.asarray(rng.random((27,) + p.padded).astype(np.float32))
+    out_sparse = apply_bouzidi(f, sp)
+    out_dense = apply_bouzidi_dense(f, dn)
+    assert np.array_equal(np.asarray(out_sparse), np.asarray(out_dense))
+
+
+def test_sharded_dense_step_matches_single():
+    from jax.sharding import Mesh
+
+    from open_ludwig_tpu.parallel.dense_shard import make_sharded_dense_step
+
+    n_dev = 4
+    if len(jax.devices()) < n_dev:
+        pytest.skip("needs 4 virtual devices")
+    X, Y, Z = 16, 8, 120
+    p = _patch((X, Y, Z), tau=0.55)
+    p.obstacle[6:9, 3:5, 50:56] = True
+    p.sponge[13:, :, :] = 0.4
+    kw = dict(c_wale=0.5, nu_sgs_background=5e-4, inlet_turbulence=0.01,
+              wall_model=True, sponge_blend=True)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("x",))
+    step, shard = make_sharded_dense_step(p, mesh, **kw)
+    statics = {
+        "obstacle3d": shard(p.obstacle, 0),
+        "sponge3d": shard(p.sponge, 0),
+        "wall3d": shard(p.wall_dist, 0),
+    }
+    f = shard(np.broadcast_to(lat.W[:, None, None, None],
+                              (27,) + p.padded).astype(np.float32), 1)
+    vel = shard(np.zeros((3,) + p.padded, np.float32), 1)
+    for t in range(2):
+        f, rho, vel = step(f, vel, 0.02, t, statics)
+
+    static_flat = {
+        "obstacle": jnp.asarray(p.obstacle.reshape(-1)),
+        "sponge": jnp.asarray(p.sponge.reshape(-1)),
+        "wall_dist": jnp.asarray(p.wall_dist.reshape(-1)),
+        "bouzidi": None,
+    }
+    f1 = jnp.asarray(np.broadcast_to(lat.W[:, None, None, None],
+                                     (27,) + p.padded).astype(np.float32))
+    v1 = jnp.zeros((3,) + p.padded, jnp.float32)
+    for t in range(2):
+        f1, r1, v1 = dense_stream_collide(
+            f1, v1, jnp.float32(0.02), jnp.int32(t), static_flat, p, **kw)
+    X_, Y_, Z_ = p.interior
+    d = np.abs(np.asarray(f)[:, :X_, :Y_, :Z_] - np.asarray(f1)[:, :X_, :Y_, :Z_]).max()
+    assert d < 1e-5, d
