@@ -123,3 +123,26 @@ def make_case_cube(case_dir: str, **over) -> str:
     with open(os.path.join(case_dir, "config.yaml"), "w") as f:
         yaml.safe_dump(cfg, f, sort_keys=False)
     return case_dir
+
+
+def make_case_wing(case_dir: str, alpha_deg: float = 0.0, **over) -> str:
+    """Extruded NACA0012 wing wind tunnel, mirroring the reference's
+    Wing_0_deg / Wing_5_deg cases (multi-level refinement + Cl/Cd/Cm)."""
+    from .geometry import make_naca_wing
+
+    os.makedirs(case_dir, exist_ok=True)
+    opts = dict(
+        velocity=30.0,
+        surface_resolution=over.pop("surface_resolution", 40),
+        reference_area=2.0,  # chord x span
+        wall_model=False,
+        wake_enabled=True,
+    )
+    opts.update(over)
+    tris = make_naca_wing(chord=1.0, span=2.0, alpha_deg=alpha_deg)
+    save_binary_stl(os.path.join(case_dir, "wing.stl"), tris)
+    cfg = _base_config("wing.stl", **opts)
+    cfg["basic"]["reference_chord"] = 1.0
+    with open(os.path.join(case_dir, "config.yaml"), "w") as f:
+        yaml.safe_dump(cfg, f, sort_keys=False)
+    return case_dir

@@ -172,3 +172,52 @@ def make_icosphere(radius: float = 0.5, center=(0.0, 0.0, 0.0), subdiv: int = 3)
         )
     tris /= np.linalg.norm(tris, axis=2, keepdims=True)
     return tris * radius + np.asarray(center, np.float64)
+
+
+def make_naca_wing(
+    chord: float = 1.0,
+    span: float = 2.0,
+    thickness: float = 0.12,
+    alpha_deg: float = 0.0,
+    n_chord: int = 40,
+    n_span: int = 8,
+) -> np.ndarray:
+    """Extruded NACA 00xx wing as a closed triangle mesh (for the Wing-class
+    bundled cases), pitched by alpha about the quarter chord."""
+    xc = 0.5 * (1 - np.cos(np.linspace(0, np.pi, n_chord)))  # cosine spacing
+    yt = 5 * thickness * (
+        0.2969 * np.sqrt(xc) - 0.1260 * xc - 0.3516 * xc**2
+        + 0.2843 * xc**3 - 0.1036 * xc**4
+    )
+    # closed loop: upper surface TE->LE then lower LE->TE
+    loop_x = np.concatenate([xc[::-1], xc[1:]]) * chord
+    loop_z = np.concatenate([yt[::-1], -yt[1:]]) * chord
+    a = np.deg2rad(alpha_deg)
+    xr = (loop_x - 0.25 * chord) * np.cos(a) + loop_z * np.sin(a) + 0.25 * chord
+    zr = -(loop_x - 0.25 * chord) * np.sin(a) + loop_z * np.cos(a)
+    m = len(loop_x)
+    ys = np.linspace(-span / 2, span / 2, n_span + 1)
+    tris = []
+    # side surface quads
+    for j in range(n_span):
+        for i in range(m - 1):
+            p00 = (xr[i], ys[j], zr[i])
+            p01 = (xr[i + 1], ys[j], zr[i + 1])
+            p10 = (xr[i], ys[j + 1], zr[i])
+            p11 = (xr[i + 1], ys[j + 1], zr[i + 1])
+            tris.append((p00, p01, p11))
+            tris.append((p00, p11, p10))
+    # end caps (fan from the mid-chord point)
+    for y, flip in ((ys[0], True), (ys[-1], False)):
+        cx, cz = xr.mean(), zr.mean()
+        for i in range(m - 1):
+            a3 = (cx, y, cz)
+            b3 = (xr[i], y, zr[i])
+            c3 = (xr[i + 1], y, zr[i + 1])
+            tris.append((a3, c3, b3) if flip else (a3, b3, c3))
+    out = np.asarray(tris, np.float64)
+    # enforce outward winding (positive signed volume)
+    vol = np.einsum("ij,ij->i", out[:, 0], np.cross(out[:, 1], out[:, 2])).sum() / 6
+    if vol < 0:
+        out = out[:, ::-1, :]
+    return out

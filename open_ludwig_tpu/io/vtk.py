@@ -234,7 +234,8 @@ def export_flow_vtu_patches(path, patches, states, fields) -> None:
     the reference's fully-refined-block filter, reference: src/io_vtk.jl:27-47).
     Points are shared per patch grid."""
     pt_chunks, conn_chunks = [], []
-    data = {n: [] for n in ("Density", "Velocity", "VelocityMagnitude", "Obstacle", "Level")}
+    data = {n: [] for n in ("Density", "Velocity", "VelocityMagnitude",
+                            "Vorticity", "Obstacle", "Level")}
     pt_base = 0
     for li, p in enumerate(patches):
         X, Y, Z = p.interior
@@ -270,12 +271,21 @@ def export_flow_vtu_patches(path, patches, states, fields) -> None:
         pt_base += (X + 1) * (Y + 1) * (Z + 1)
 
         st = states[li]
+        vel3d = np.asarray(st["vel"])[:, :X, :Y, :Z]
         rho = np.asarray(st["rho"])[:X, :Y, :Z][keep]
-        vel = np.asarray(st["vel"])[:, :X, :Y, :Z][:, keep]
+        vel = vel3d[:, keep]
         obs = p.obstacle[:X, :Y, :Z][keep]
         data["Density"].append(rho)
         data["Velocity"].append(vel.T)
         data["VelocityMagnitude"].append(np.sqrt((vel**2).sum(axis=0)))
+        if fields.vorticity:
+            # central-difference curl in lattice units (the reference defines
+            # but never writes this field, reference: src/diagnostics.jl:12-51)
+            g = [np.gradient(vel3d[c], axis=(0, 1, 2)) for c in range(3)]
+            wx = g[2][1] - g[1][2]
+            wy = g[0][2] - g[2][0]
+            wz = g[1][0] - g[0][1]
+            data["Vorticity"].append(np.sqrt(wx**2 + wy**2 + wz**2)[keep])
         data["Obstacle"].append(obs.astype(np.uint8))
         data["Level"].append(np.full(len(rho), p.level_id, np.int32))
 
@@ -288,6 +298,8 @@ def export_flow_vtu_patches(path, patches, states, fields) -> None:
         cell_data["Velocity"] = _scrub(np.concatenate(data["Velocity"]))
     if fields.velocity_magnitude:
         cell_data["VelocityMagnitude"] = _scrub(np.concatenate(data["VelocityMagnitude"]))
+    if fields.vorticity and data["Vorticity"]:
+        cell_data["Vorticity"] = _scrub(np.concatenate(data["Vorticity"]))
     if fields.obstacle:
         cell_data["Obstacle"] = np.concatenate(data["Obstacle"])
     if fields.level:

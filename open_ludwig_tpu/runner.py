@@ -141,11 +141,19 @@ def solve_case(cfg: CaseConfig, quiet: bool = False) -> SolveResult:
     if cfg.checkpoint_freq > 0:
         freqs.append(cfg.checkpoint_freq)
 
+    profile_dir = os.environ.get("OPEN_LUDWIG_PROFILE")
+    profiled = False
+
     t = resume_step + 1
     last_diag_time = time.time()
     last_forces = None
     final_stats = None
     while t <= cfg.steps:
+        # one jax.profiler trace of the second batch (post-compile), the TPU
+        # analogue of the reference's wall-clock instrumentation (main.jl:37-42)
+        if profile_dir and not profiled and t > cfg.diag_freq:
+            jax.profiler.start_trace(profile_dir)
+            profiled = True
         next_events = [((t - 1) // f + 1) * f for f in freqs]
         batch_end = min(min(next_events), cfg.steps)
         n = batch_end - t + 1
@@ -204,6 +212,11 @@ def solve_case(cfg: CaseConfig, quiet: bool = False) -> SolveResult:
         if cfg.checkpoint_freq > 0 and t_done % cfg.checkpoint_freq == 0:
             path = ckpt.save_checkpoint(ckpt_dir, t_done, states)
             log.info("[Checkpoint] saved %s", path)
+
+        if profiled and profile_dir:
+            jax.profiler.stop_trace()
+            log.info("[Profile] trace written to %s", profile_dir)
+            profile_dir = None
 
         t = t_done + 1
 
