@@ -67,3 +67,26 @@ def print_force_summary(fr: ForceResult, rho_ref, u_ref, area_ref, chord_ref) ->
         "=" * 60,
     ]
     return "\n".join(lines)
+
+
+def export_surface_loads_csv(
+    path: str, centers, normals, areas, pressure, shear, mesh_offset
+) -> None:
+    """Per-triangle surface loads for external FEA tools
+    (reference: src/forces/io.jl:167-190; same column schema)."""
+    import numpy as np
+
+    c = np.asarray(centers) + np.asarray(mesh_offset)[None, :]
+    n = np.asarray(normals)
+    with open(path, "w") as f:
+        f.write(
+            "triangle_id,cx,cy,cz,nx,ny,nz,area_m2,pressure_Pa,"
+            "shear_x_Pa,shear_y_Pa,shear_z_Pa\n"
+        )
+        for i in range(len(areas)):
+            f.write(
+                f"{i + 1},{c[i,0]:.6e},{c[i,1]:.6e},{c[i,2]:.6e},"
+                f"{n[i,0]:.6f},{n[i,1]:.6f},{n[i,2]:.6f},{areas[i]:.6e},"
+                f"{pressure[i]:.6e},{shear[0,i]:.6e},{shear[1,i]:.6e},"
+                f"{shear[2,i]:.6e}\n"
+            )

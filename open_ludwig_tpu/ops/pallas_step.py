@@ -277,8 +277,8 @@ def make_pallas_step(
             num_scalar_prefetch=2,
             grid=(XS,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # f
-                pl.BlockSpec(memory_space=pltpu.ANY),  # vel
+                pl.BlockSpec(memory_space=pl.ANY),  # f
+                pl.BlockSpec(memory_space=pl.ANY),  # vel
                 pl.BlockSpec((1, YS, ZS), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec((1, YS, ZS), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec((1, YS, ZS), lambda i, *_: (i, 0, 0)),

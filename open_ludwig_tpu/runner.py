@@ -82,6 +82,9 @@ def solve_case(cfg: CaseConfig, quiet: bool = False) -> SolveResult:
         statics = build_patch_statics(cfg, levels)
         states = [init_patch_state(p) for p in levels]
         total_cells = sum(p.n_cells for p in levels)
+        from .solver_dense import hbm_report_patches
+
+        log.info(hbm_report_patches(levels, statics))
     else:
         mesh, params, levels = setup_case(cfg)
         states, statics = build_all(cfg, params, levels)

@@ -160,3 +160,33 @@ def make_batch_runner_dense(
         return out
 
     return run
+
+
+def hbm_report_patches(patches: List[PatchLevel], statics: List[Dict]) -> str:
+    """Per-level HBM accounting for the dense layout — the reference's VRAM
+    breakdown analogue (reference: src/diagnostics_vram.jl:17-133)."""
+    lines = ["HBM breakdown (dense patches):"]
+    total = 0
+    for p, st in zip(patches, statics):
+        n = p.n_padded
+        state_b = n * 4 * (27 + 1 + 3)
+        field_b = n * (1 + 4 + 4)
+        bz = st.get("bouzidi")
+        bz_b = 0
+        if bz:
+            import numpy as _np
+
+            bz_b = sum(
+                int(_np.prod(v.shape)) * v.dtype.itemsize
+                for v in bz.values()
+                if hasattr(v, "shape")
+            )
+        lvl_total = state_b + field_b + bz_b
+        total += lvl_total
+        lines.append(
+            f"  level {p.level_id}: {p.n_cells/1e6:7.2f}M cells "
+            f"({n/1e6:.2f}M padded) | state {state_b/1e6:8.1f} MB | fields "
+            f"{field_b/1e6:6.1f} MB | bouzidi {bz_b/1e6:5.1f} MB"
+        )
+    lines.append(f"  total: {total/1e9:.3f} GB")
+    return "\n".join(lines)

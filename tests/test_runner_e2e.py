@@ -1,0 +1,68 @@
+"""End-to-end runner tests on CPU: tiny sphere case through solve_case with
+both layouts, checkpoint/resume, and output artifact schemas."""
+
+import csv
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pytest
+
+from open_ludwig_tpu.cases import make_case_sphere
+from open_ludwig_tpu.config import load_case_config
+from open_ludwig_tpu.runner import solve_case
+
+
+@pytest.fixture(scope="module")
+def tiny_case(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("case"))
+    make_case_sphere(
+        d, "1M", surface_resolution=10, num_levels=1, steps=20, ramp_steps=10,
+        output_freq=20, diag_freq=10, wake_enabled=False,
+        boundary_method="bounce_back", wall_model=False,
+    )
+    return d
+
+
+def test_solve_case_patch_layout(tiny_case):
+    cfg = load_case_config(tiny_case)
+    res = solve_case(cfg)
+    assert res.final_stats.rho_min > 0.8
+    assert np.isfinite(res.final_forces.Cd)
+    out = cfg.output_path
+    files = os.listdir(out)
+    assert "convergence.csv" in files and "forces.csv" in files
+    assert any(f.startswith("flow_") for f in files)
+    assert any(f.startswith("surface_") for f in files)
+    # schema checks (reference: main.jl:82, forces/io.jl:91)
+    conv = list(csv.reader(open(os.path.join(out, "convergence.csv"))))
+    assert conv[0] == ["Step", "Walltime", "Time_phys_s", "U_inlet_lat",
+                       "Rho_min", "MLUPS", "Cd", "Cl"]
+    forces = list(csv.reader(open(os.path.join(out, "forces.csv"))))
+    assert forces[0] == ["Step", "Time_s", "U_inlet", "Fx_N", "Fy_N", "Fz_N",
+                         "Fx_p_N", "Fx_v_N", "Mx_Nm", "My_Nm", "Mz_Nm",
+                         "Cd", "Cl", "Cs", "Cmy"]
+    # vtu parses
+    flow = [f for f in files if f.startswith("flow_")][0]
+    root = ET.parse(os.path.join(out, flow)).getroot()
+    assert root.attrib["type"] == "UnstructuredGrid"
+
+
+def test_checkpoint_resume(tiny_case):
+    cfg = load_case_config(tiny_case).with_overrides(
+        checkpoint_freq=10, steps=20
+    )
+    solve_case(cfg)
+    ckpts = os.listdir(os.path.join(cfg.output_path, "checkpoints"))
+    assert len(ckpts) == 2
+    # resume from step 10 and continue to 20
+    cfg2 = cfg.with_overrides(checkpoint_resume=True, steps=30)
+    res = solve_case(cfg2)
+    assert res.final_stats.rho_min > 0.8
+
+
+def test_solve_case_blocks_layout(tiny_case):
+    cfg = load_case_config(tiny_case).with_overrides(layout="blocks", steps=10)
+    res = solve_case(cfg)
+    assert res.final_stats.rho_min > 0.8
+    assert np.isfinite(res.final_forces.Cd)
