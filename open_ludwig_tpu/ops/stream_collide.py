@@ -22,7 +22,6 @@ is a functional scatter that reads the uncorrected snapshot).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional
 
 import jax

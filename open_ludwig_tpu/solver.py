@@ -16,7 +16,6 @@ lifetime is one coarse step, so it never enters the scan carry).
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Dict, List, Tuple
 
@@ -41,8 +40,6 @@ def ramp_velocity(t, u_target: float, ramp_steps: int):
 
 
 def _parent_view(state: Dict, old: Dict) -> Dict:
-    nb = state["rho"].shape[0]
-    flat = lambda a: a.reshape(a.shape[0], -1) if a.ndim == 3 else a.reshape(-1)
     return {
         "f": state["f"].reshape(27, -1),
         "rho": state["rho"].reshape(-1),
