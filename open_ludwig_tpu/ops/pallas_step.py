@@ -4,19 +4,25 @@ The XLA formulation (ops.dense_step) materializes many (27, N) intermediates
 and re-reads per-cell state once per direction; this kernel makes the data
 flow explicit and reads f exactly once per step:
 
-  - grid = x-planes, executed sequentially on the TensorCore;
-  - a rotating 4-slot VMEM window holds x-planes of f (27, YS, ZS) and vel;
-    each grid step issues one async DMA for plane x+2 (double-buffered ahead
-    of use) and consumes planes x-1, x, x+1;
-  - pull streaming = 2-D rolls of window planes (in-register shifts);
-  - boundary handling identical to ops.dense_step: masked selects for
-    inlet (hash-noise equilibrium) / outlet / y-z mirror, and interface ghost
-    planes interpolated from the parent patch, passed in as small inputs;
+  - grid = chunks of PX x-planes, executed sequentially on the TensorCore;
+    a rotating 4-slot VMEM window holds chunks of f (27, PX, YS, ZS) and vel,
+    with one async DMA per chunk double-buffered ahead of use;
+  - the whole chunk is processed as ONE array (vector ops of PX*YS*ZS
+    elements) — per-op overhead amortizes over the chunk, which matters for
+    small fine-level patches;
+  - pull streaming: the x-shift picks a PX-plane window from the halo-
+    extended chunk (edge planes of the neighbor chunks concatenated on), the
+    y/z shifts are in-register 2-D rolls;
+  - boundary handling identical to ops.dense_step: masked selects for inlet
+    (hash-noise equilibrium) / outlet / y-z mirror, and interface ghost planes
+    interpolated from the parent patch (pre-shifted per direction so every
+    kernel read is aligned and static);
   - collision = ops.collide_math.collide_unrolled — per-direction unrolled
     moments/WALE/wall-model/regularized-BGK with no (27, N) stacking.
 
-Outputs (f_out, rho, vel) stream back plane-by-plane through pipelined
-output BlockSpecs.
+The x-plane pulls that cross the global domain ends read junk (wrapped window
+edges) but every x-face destination row is overwritten by its BC mask, so no
+clamping is needed.
 """
 
 from __future__ import annotations
@@ -44,17 +50,18 @@ _SLOTS = 4
 
 
 def _shift2d(a, sy: int, sz: int):
-    """out[y, z] = a[y - sy, z - sz] (wrapped; wrapped rows/cols are
+    """out[..., y, z] = a[..., y - sy, z - sz] (wrapped; wrapped rows/cols are
     overwritten by the boundary masks)."""
+    nd = a.ndim
     if sy:
-        a = jnp.roll(a, sy, axis=0)
+        a = jnp.roll(a, sy, axis=nd - 2)
     if sz:
-        a = jnp.roll(a, sz, axis=1)
+        a = jnp.roll(a, sz, axis=nd - 1)
     return a
 
 
 def prepare_pallas_statics(patch: PatchLevel) -> Dict:
-    """3-D device arrays consumed by the kernel's plane BlockSpecs."""
+    """3-D device arrays consumed by the kernel's chunk BlockSpecs."""
     return {
         "obstacle_u8": jnp.asarray(patch.obstacle.astype(np.uint8)),
         "sponge3d": jnp.asarray(patch.sponge),
@@ -66,7 +73,7 @@ def shift_iface_planes(iface: Dict[int, jnp.ndarray], patch: PatchLevel) -> Dict
     """Pre-apply the per-direction (1-c) shifts to interface ghost planes so
     the kernel only does aligned static reads:
       face 0/1 (x): (27, YS, ZS) value for dest (., y, z)
-      face 2/3 (y): (27, XS, ZS) value rows indexed by the grid step
+      face 2/3 (y): (27, XS, ZS) value rows indexed by the x-plane
       face 4/5 (z): (27, XS, YS)
     """
     XS, YS, ZS = patch.padded
@@ -95,88 +102,98 @@ def make_pallas_step(
     wall_model: bool,
     sponge_blend: bool,
     interpret: bool = False,
+    planes_per_step: int = 0,
 ):
     XS, YS, ZS = patch.padded
     X, Y, Z = patch.interior
     fb = patch.face_bc
+    # chunked grid: PX x-planes per step amortize per-op vector overheads;
+    # bounded by the VMEM window budget
+    if planes_per_step:
+        PX = planes_per_step
+    else:
+        PX = 1
+        for cand in (8, 4, 2):
+            if XS % cand == 0 and 4 * (27 + 3) * cand * YS * ZS * 4 < 56 * 2**20:
+                PX = cand
+                break
+    assert XS % PX == 0, (XS, PX)
+    NCH = XS // PX
 
     need_iface = tuple(fc for fc in range(6) if fb[fc] == BC_INTERFACE)
 
     def kernel(
         u_ref, seed_ref,  # scalar prefetch (SMEM)
         f_hbm, vel_hbm,  # ANY (manual DMA)
-        obstacle_ref, sponge_ref, wall_ref,  # (1, YS, ZS) VMEM blocks
-        *rest,  # iface refs (one per interface face), outputs, scratch
+        obstacle_ref, sponge_ref, wall_ref,  # (PX, YS, ZS) VMEM blocks
+        *rest,  # iface refs, outputs, scratch
     ):
         n_if = len(need_iface)
         iface_refs = dict(zip(need_iface, rest[:n_if]))
         fout_ref, rho_ref, velout_ref = rest[n_if : n_if + 3]
         fwin, vwin, sems = rest[n_if + 3 :]
-        xi = pl.program_id(0)
-        iy2 = jax.lax.broadcasted_iota(jnp.int32, (YS, ZS), 0)
-        iz2 = jax.lax.broadcasted_iota(jnp.int32, (YS, ZS), 1)
 
-        def start_dma(plane):
-            slot = plane % _SLOTS
-            cf = pltpu.make_async_copy(
-                f_hbm.at[:, plane], fwin.at[slot], sems.at[0, slot]
-            )
-            cv = pltpu.make_async_copy(
-                vel_hbm.at[:, plane], vwin.at[slot], sems.at[1, slot]
-            )
-            cf.start()
-            cv.start()
+        ci = pl.program_id(0)
+        ix3 = jax.lax.broadcasted_iota(jnp.int32, (PX, YS, ZS), 0) + ci * PX
+        iy3 = jax.lax.broadcasted_iota(jnp.int32, (PX, YS, ZS), 1)
+        iz3 = jax.lax.broadcasted_iota(jnp.int32, (PX, YS, ZS), 2)
 
-        def wait_dma(plane):
-            slot = plane % _SLOTS
+        def start_dma(chunk):
+            slot = chunk % _SLOTS
             pltpu.make_async_copy(
-                f_hbm.at[:, plane], fwin.at[slot], sems.at[0, slot]
+                f_hbm.at[:, pl.ds(chunk * PX, PX)], fwin.at[slot], sems.at[0, slot]
+            ).start()
+            pltpu.make_async_copy(
+                vel_hbm.at[:, pl.ds(chunk * PX, PX)], vwin.at[slot], sems.at[1, slot]
+            ).start()
+
+        def wait_dma(chunk):
+            slot = chunk % _SLOTS
+            pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(chunk * PX, PX)], fwin.at[slot], sems.at[0, slot]
             ).wait()
             pltpu.make_async_copy(
-                vel_hbm.at[:, plane], vwin.at[slot], sems.at[1, slot]
+                vel_hbm.at[:, pl.ds(chunk * PX, PX)], vwin.at[slot], sems.at[1, slot]
             ).wait()
 
-        @pl.when(xi == 0)
+        @pl.when(ci == 0)
         def _warmup():
             start_dma(jnp.int32(0))
-            if XS > 1:
+            if NCH > 1:
                 start_dma(jnp.int32(1))
             wait_dma(jnp.int32(0))
-            if XS > 1:
+            if NCH > 1:
                 wait_dma(jnp.int32(1))
 
-        # prefetch plane x+2 (its slot is free: this step uses x-1, x, x+1)
-        @pl.when(xi + 2 <= XS - 1)
+        @pl.when(ci + 2 <= NCH - 1)
         def _prefetch():
-            start_dma(xi + 2)
+            start_dma(ci + 2)
 
-        # plane x+1 was prefetched two steps ago (or in warmup); await it
-        @pl.when((xi >= 1) & (xi + 1 <= XS - 1))
+        @pl.when((ci >= 1) & (ci + 1 <= NCH - 1))
         def _await_next():
-            wait_dma(xi + 1)
+            wait_dma(ci + 1)
 
         u_inlet = u_ref[0]
         t_seed = seed_ref[0]
 
-        p_prev = jnp.maximum(xi - 1, 0)
-        p_next = jnp.minimum(xi + 1, XS - 1)
-        # Ref slices (no copies); individual k-planes are loaded on demand
-        f_prev = fwin.at[p_prev % _SLOTS]
-        f_cur = fwin.at[xi % _SLOTS]
-        f_next = fwin.at[p_next % _SLOTS]
-        v_prev = vwin.at[p_prev % _SLOTS]
-        v_cur = vwin.at[xi % _SLOTS]
-        v_next = vwin.at[p_next % _SLOTS]
+        c_prev = jnp.maximum(ci - 1, 0)
+        c_next = jnp.minimum(ci + 1, NCH - 1)
+        f_prev_ch = fwin.at[c_prev % _SLOTS]
+        f_cur_ch = fwin.at[ci % _SLOTS]
+        f_next_ch = fwin.at[c_next % _SLOTS]
+        v_prev_ch = vwin.at[c_prev % _SLOTS]
+        v_cur_ch = vwin.at[ci % _SLOTS]
+        v_next_ch = vwin.at[c_next % _SLOTS]
 
         if fb[0] == BC_INLET:
-            gy1 = iy2 + (patch.lo[1] + 1)
-            gz1 = iz2 + (patch.lo[2] + 1)
+            gy1 = jax.lax.broadcasted_iota(jnp.int32, (YS, ZS), 0) + (patch.lo[1] + 1)
+            gz1 = jax.lax.broadcasted_iota(jnp.int32, (YS, ZS), 1) + (patch.lo[2] + 1)
             if inlet_turbulence > 0.0:
                 noise = cm.hash_noise(gy1, gz1, t_seed)
                 u_inst = u_inlet + noise * jnp.float32(inlet_turbulence) * u_inlet
             else:
                 u_inst = jnp.broadcast_to(u_inlet, (YS, ZS)).astype(jnp.float32)
-            inlet_factor = 1.0 + 3.0 * u_inst + 3.0 * u_inst * u_inst
+            inlet_factor = (1.0 + 3.0 * u_inst + 3.0 * u_inst * u_inst)[None, :, :]
         else:
             inlet_factor = None
 
@@ -186,11 +203,11 @@ def make_pallas_step(
             if bc == BC_INTERFACE:
                 pr = iface_refs[face]  # pre-shifted by shift_iface_planes
                 if face // 2 == 0:
-                    return pr[k]  # (YS, ZS)
-                row = pr[k, pl.ds(xi, 1), :]  # dynamic sublane, full lanes
+                    return pr[k][None, :, :]  # (1, YS, ZS), bcast over PX
+                rows = pr[k, pl.ds(ci * PX, PX), :]  # (PX, B)
                 if face // 2 == 1:
-                    return jnp.broadcast_to(row.reshape(1, ZS), (YS, ZS))
-                return jnp.broadcast_to(row.reshape(YS, 1), (YS, ZS))
+                    return rows[:, None, :]  # bcast over Y
+                return rows[:, :, None]  # bcast over Z
             if bc == BC_INLET:
                 return float(lat.W[k]) * inlet_factor
             if bc == BC_OUTLET:
@@ -199,46 +216,77 @@ def make_pallas_step(
                     1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * u_inlet * u_inlet
                 )
             if bc == BC_MIRROR_Y:
-                return f_cur[int(lat.MIRROR_Y[k])]
+                return f_cur_ch[int(lat.MIRROR_Y[k])]
             if bc == BC_MIRROR_Z:
-                return f_cur[int(lat.MIRROR_Z[k])]
+                return f_cur_ch[int(lat.MIRROR_Z[k])]
             raise AssertionError(bc)
 
         streamed = []
         for k in range(27):
             cx, cy, cz = int(lat.C_X[k]), int(lat.C_Y[k]), int(lat.C_Z[k])
-            src = f_prev if cx == 1 else (f_next if cx == -1 else f_cur)
-            val = _shift2d(src[k], cy, cz)
+            # x-shifted PX-plane window from [prev edge | chunk | next edge]
+            if cx == 0:
+                src = f_cur_ch[k]
+            elif cx == 1:
+                if PX > 1:
+                    src = jnp.concatenate(
+                        [f_prev_ch[k, PX - 1 :], f_cur_ch[k, : PX - 1]], axis=0
+                    )
+                else:
+                    src = f_prev_ch[k]
+            else:
+                if PX > 1:
+                    src = jnp.concatenate(
+                        [f_cur_ch[k, 1:], f_next_ch[k, :1]], axis=0
+                    )
+                else:
+                    src = f_next_ch[k]
+            val = _shift2d(src, cy, cz)
             if cz > 0:
-                val = jnp.where(iz2 == 0, face_value(k, 4), val)
+                val = jnp.where(iz3 == 0, face_value(k, 4), val)
             elif cz < 0:
-                val = jnp.where(iz2 == Z - 1, face_value(k, 5), val)
+                val = jnp.where(iz3 == Z - 1, face_value(k, 5), val)
             if cy > 0:
-                val = jnp.where(iy2 == 0, face_value(k, 2), val)
+                val = jnp.where(iy3 == 0, face_value(k, 2), val)
             elif cy < 0:
-                val = jnp.where(iy2 == Y - 1, face_value(k, 3), val)
+                val = jnp.where(iy3 == Y - 1, face_value(k, 3), val)
             if cx < 0:
-                val = jnp.where(xi == X - 1, face_value(k, 1), val)
+                val = jnp.where(ix3 == X - 1, face_value(k, 1), val)
             elif cx > 0:
-                val = jnp.where(xi == 0, face_value(k, 0), val)
+                val = jnp.where(ix3 == 0, face_value(k, 0), val)
             streamed.append(val)
 
         def vel_nbr(dx, dy, dz):
-            src = v_prev if dx == -1 else (v_next if dx == 1 else v_cur)
-            r = jnp.stack([_shift2d(src[c], -dy, -dz) for c in range(3)])
-            own = v_cur[:]
+            if dx == 0:
+                src = v_cur_ch[:]
+            elif dx == -1:
+                if PX > 1:
+                    src = jnp.concatenate(
+                        [v_prev_ch[:, PX - 1 :], v_cur_ch[:, : PX - 1]], axis=1
+                    )
+                else:
+                    src = v_prev_ch[:]
+            else:
+                if PX > 1:
+                    src = jnp.concatenate(
+                        [v_cur_ch[:, 1:], v_next_ch[:, :1]], axis=1
+                    )
+                else:
+                    src = v_next_ch[:]
+            r = _shift2d(src, -dy, -dz)
+            own = v_cur_ch[:]
             if dx > 0:
-                r = jnp.where(xi == X - 1, own, r)
+                r = jnp.where(ix3 == X - 1, own, r)
             elif dx < 0:
-                r = jnp.where(xi == 0, own, r)
+                r = jnp.where(ix3 == 0, own, r)
             if dy > 0:
-                r = jnp.where(iy2 == Y - 1, own, r)
+                r = jnp.where(iy3 == Y - 1, own, r)
             elif dy < 0:
-                r = jnp.where(iy2 == 0, own, r)
+                r = jnp.where(iy3 == 0, own, r)
             if dz > 0:
-                r = jnp.where(iz2 == Z - 1, own, r)
+                r = jnp.where(iz3 == Z - 1, own, r)
             elif dz < 0:
-                r = jnp.where(iz2 == 0, own, r)
+                r = jnp.where(iz3 == 0, own, r)
             return r
 
         nbrs = (
@@ -250,9 +298,9 @@ def make_pallas_step(
         f_out, rho_out, vel_out = cm.collide_unrolled(
             streamed,
             nbrs,
-            obstacle_ref[0] != 0,
-            sponge_ref[0],
-            wall_ref[0],
+            obstacle_ref[:] != 0,
+            sponge_ref[:],
+            wall_ref[:],
             u_inlet,
             tau=patch.tau,
             c_wale=c_wale,
@@ -261,9 +309,9 @@ def make_pallas_step(
             sponge_blend=sponge_blend,
         )
         for k in range(27):
-            fout_ref[k, 0] = f_out[k]
-        rho_ref[0] = rho_out
-        velout_ref[:, 0] = vel_out
+            fout_ref[k] = f_out[k]
+        rho_ref[:] = rho_out
+        velout_ref[:] = vel_out
 
     def step(f, vel, u_inlet, t_seed, statics3d, iface: Optional[Dict] = None):
         iface = shift_iface_planes(iface or {}, patch)
@@ -275,23 +323,23 @@ def make_pallas_step(
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(XS,),
+            grid=(NCH,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # f
                 pl.BlockSpec(memory_space=pl.ANY),  # vel
-                pl.BlockSpec((1, YS, ZS), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((1, YS, ZS), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((1, YS, ZS), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((PX, YS, ZS), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((PX, YS, ZS), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((PX, YS, ZS), lambda i, *_: (i, 0, 0)),
             ]
             + iface_specs,
             out_specs=[
-                pl.BlockSpec((27, 1, YS, ZS), lambda i, *_: (0, i, 0, 0)),
-                pl.BlockSpec((1, YS, ZS), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((3, 1, YS, ZS), lambda i, *_: (0, i, 0, 0)),
+                pl.BlockSpec((27, PX, YS, ZS), lambda i, *_: (0, i, 0, 0)),
+                pl.BlockSpec((PX, YS, ZS), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((3, PX, YS, ZS), lambda i, *_: (0, i, 0, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((_SLOTS, 27, YS, ZS), jnp.float32),
-                pltpu.VMEM((_SLOTS, 3, YS, ZS), jnp.float32),
+                pltpu.VMEM((_SLOTS, 27, PX, YS, ZS), jnp.float32),
+                pltpu.VMEM((_SLOTS, 3, PX, YS, ZS), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, _SLOTS)),
             ],
         )

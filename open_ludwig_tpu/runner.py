@@ -237,6 +237,25 @@ def solve_case(cfg: CaseConfig, quiet: bool = False) -> SolveResult:
                 params.reference_area, params.reference_chord,
             ),
         )
+        # time-averaged coefficients over the final third of the run — the
+        # meaningful number for unsteady (vortex-shedding) flows, where the
+        # instantaneous Cd printed above fluctuates by +-0.1 or more
+        try:
+            import csv as _csv
+
+            rows = list(_csv.DictReader(open(force_csv)))
+            cut = cfg.steps - max(cfg.steps // 3, 1)
+            cds = [float(r["Cd"]) for r in rows if int(r["Step"]) >= cut]
+            cls_ = [float(r["Cl"]) for r in rows if int(r["Step"]) >= cut]
+            if cds:
+                log.info(
+                    "  time-averaged (last third): Cd = %.4f +- %.4f | "
+                    "Cl = %.4f +- %.4f",
+                    float(np.mean(cds)), float(np.std(cds)),
+                    float(np.mean(cls_)), float(np.std(cls_)),
+                )
+        except Exception:
+            pass
     return SolveResult(
         total_cells=total_cells,
         steps=cfg.steps,
