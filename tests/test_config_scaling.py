@@ -140,3 +140,40 @@ def test_unit_roundtrip(sphere_cfg):
     assert 0.03 * p.velocity_scale == pytest.approx(148.0)
     # nu consistency: nu_lat * dx^2/dt == nu_phys
     assert p.nu_lattice * p.length_scale**2 / p.time_scale == pytest.approx(1.5e-5)
+
+
+def test_auto_levels_and_caps():
+    from open_ludwig_tpu.config import CaseConfig
+    from open_ludwig_tpu.scaling import compute_domain_params
+
+    base = dict(
+        reference_length_for_meshing=1.0, surface_resolution=32,
+        flow_velocity=10.0, u_lattice=0.05,
+        domain_upstream=2.0, domain_downstream=2.0,
+        domain_lateral=2.0, domain_height=2.0,
+    )
+    bounds = ((-0.5, -0.5, -0.5), (0.5, 0.5, 0.5))
+    # num_levels=0 + auto_levels: capped by max_levels
+    cfg = CaseConfig(num_levels=0, auto_levels=True, max_levels=2, **base)
+    p = compute_domain_params(cfg, *bounds)
+    assert p.num_levels == 2
+    # num_levels=0, no auto: min(8, domain cap)
+    cfg = CaseConfig(num_levels=0, auto_levels=False, **base)
+    p2 = compute_domain_params(cfg, *bounds)
+    assert p2.num_levels >= 2
+    # explicit num_levels capped by the domain rule
+    cfg = CaseConfig(num_levels=12, **base)
+    p3 = compute_domain_params(cfg, *bounds)
+    assert p3.num_levels == p2.num_levels  # same geometric cap
+
+
+def test_tau_floor_applied():
+    from open_ludwig_tpu.config import CaseConfig
+    from open_ludwig_tpu.scaling import compute_domain_params
+
+    cfg = CaseConfig(
+        num_levels=1, reference_length_for_meshing=1.0, surface_resolution=10,
+        flow_velocity=1e6, u_lattice=0.01, tau_min=0.51,
+    )
+    p = compute_domain_params(cfg, (-0.5, -0.5, -0.5), (0.5, 0.5, 0.5))
+    assert p.tau_fine == pytest.approx(0.51)

@@ -66,3 +66,23 @@ def test_solve_case_blocks_layout(tiny_case):
     res = solve_case(cfg)
     assert res.final_stats.rho_min > 0.8
     assert np.isfinite(res.final_forces.Cd)
+
+
+def test_batch_runner(tmp_path):
+    import yaml
+
+    from open_ludwig_tpu.runner import run_all_cases
+
+    root = tmp_path / "CASES"
+    make_case_sphere(
+        str(root / "good"), "1M", surface_resolution=10, num_levels=1, steps=6,
+        ramp_steps=3, output_freq=100, diag_freq=100, wake_enabled=False,
+        boundary_method="bounce_back", wall_model=False,
+    )
+    (root / "broken").mkdir(parents=True)
+    (root / "broken" / "config.yaml").write_text("basic: {}\n")
+    batch = tmp_path / "cases_to_run.yaml"
+    batch.write_text(yaml.safe_dump({"case_folders": ["broken", "good"]}))
+    # the broken case must not kill the batch (reference: main.jl:261-267)
+    run_all_cases(str(root), str(batch))
+    assert (root / "good" / "RESULTS" / "convergence.csv").exists()
