@@ -17,11 +17,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
+FORMAT_VERSION = 1
+
+
 def save_checkpoint(path_dir: str, step: int, states: List[Dict]) -> str:
     os.makedirs(path_dir, exist_ok=True)
     path = os.path.join(path_dir, f"ckpt_{step:08d}.npz")
     tmp = path + ".tmp"
-    payload = {"step": np.int64(step), "n_levels": np.int64(len(states))}
+    payload = {
+        "step": np.int64(step),
+        "n_levels": np.int64(len(states)),
+        "format_version": np.int64(FORMAT_VERSION),
+    }
     for i, st in enumerate(states):
         for key, arr in st.items():
             payload[f"L{i}_{key}"] = np.asarray(arr)
@@ -38,6 +45,9 @@ def latest_checkpoint(path_dir: str) -> Optional[str]:
 
 def load_checkpoint(path: str) -> Tuple[int, List[Dict]]:
     data = np.load(path)
+    ver = int(data["format_version"]) if "format_version" in data else 0
+    if ver > FORMAT_VERSION:
+        raise ValueError(f"checkpoint format {ver} newer than supported")
     n = int(data["n_levels"])
     states = []
     for i in range(n):

@@ -60,7 +60,7 @@ class SolveResult:
     final_forces: Optional[object]
 
 
-def solve_case(cfg: CaseConfig, quiet: bool = False) -> SolveResult:
+def solve_case(cfg: CaseConfig) -> SolveResult:
     from .jax_setup import setup_jax_cache
 
     setup_jax_cache()
