@@ -21,13 +21,11 @@ from .core.patch import BC_INTERFACE, PatchLevel
 from .ops.dense_step import (
     apply_bouzidi_dense,
     build_bouzidi_dense_plan,
-    build_bouzidi_patch_plan,
     dense_stream_collide,
     interface_endpoints,
     interface_from_endpoints,
 )
 from .ops.pallas_step import make_pallas_step, prepare_pallas_statics
-from .ops.stream_collide import apply_bouzidi
 from .scaling import DomainParams
 from .solver import ramp_velocity
 

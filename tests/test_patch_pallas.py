@@ -176,3 +176,41 @@ def test_sharded_dense_step_matches_single():
     X_, Y_, Z_ = p.interior
     d = np.abs(np.asarray(f)[:, :X_, :Y_, :Z_] - np.asarray(f1)[:, :X_, :Y_, :Z_]).max()
     assert d < 1e-5, d
+
+
+def test_pallas_interface_interpret(rng):
+    """Pallas kernel with interface ghost faces (fine-patch configuration)."""
+    from open_ludwig_tpu.ops.dense_step import dense_stream_collide as dsc
+
+    X, Y, Z = 8, 8, 120
+    p = _patch((X, Y, Z), tau=0.53, lo=(10, 12, 14),
+               face_bc=[BC_INTERFACE] * 6, level_id=2)
+    p.obstacle[3:5, 3:5, 50:54] = True
+    f0 = (lat.W[:, None, None, None] * (1 + 0.05 * rng.standard_normal(
+        (27,) + p.padded))).astype(np.float32)
+    v0 = (0.02 * rng.standard_normal((3,) + p.padded)).astype(np.float32)
+    iface = {}
+    for fc in range(6):
+        ax = fc // 2
+        t = [a for a in range(3) if a != ax]
+        A, B = p.padded[t[0]], p.padded[t[1]]
+        iface[fc] = jnp.asarray(
+            (lat.W[:, None, None] * (1 + 0.03 * rng.standard_normal(
+                (27, A + 2, B + 2)))).astype(np.float32))
+    static_flat = {
+        "obstacle": jnp.asarray(p.obstacle.reshape(-1)),
+        "sponge": jnp.asarray(p.sponge.reshape(-1)),
+        "wall_dist": jnp.asarray(p.wall_dist.reshape(-1)),
+        "bouzidi": None,
+    }
+    kw = dict(c_wale=0.5, nu_sgs_background=5e-4, inlet_turbulence=0.0,
+              wall_model=False, sponge_blend=False)
+    fj, vj = jnp.asarray(f0), jnp.asarray(v0)
+    u, s = jnp.float32(0.04), jnp.int32(9)
+    f_ref, _, _ = dsc(fj, vj, u, s, static_flat, p, iface=iface, **kw)
+    pstep = make_pallas_step(p, interpret=True, **kw)
+    f_pl, _, _ = pstep(fj, vj, u, s, prepare_pallas_statics(p), iface)
+    X_, Y_, Z_ = p.interior
+    d = np.abs(np.asarray(f_pl)[:, :X_, :Y_, :Z_]
+               - np.asarray(f_ref)[:, :X_, :Y_, :Z_])
+    assert d.max() < 1e-5, d.max()
