@@ -86,3 +86,44 @@ def test_batch_runner(tmp_path):
     # the broken case must not kill the batch (reference: main.jl:261-267)
     run_all_cases(str(root), str(batch))
     assert (root / "good" / "RESULTS" / "convergence.csv").exists()
+
+
+def test_symmetric_half_model_e2e(tmp_path):
+    """Half-model with y=0 symmetry plane end-to-end: mirror BC at y-min,
+    halved reference area, doubled Fx/Fz (reference: forces/surface.jl:517)."""
+    import yaml
+
+    from open_ludwig_tpu.cases import make_case_sphere
+
+    d = str(tmp_path)
+    make_case_sphere(
+        d, "1M", surface_resolution=10, num_levels=1, steps=8, ramp_steps=4,
+        output_freq=100, diag_freq=100, wake_enabled=False,
+        boundary_method="bounce_back", wall_model=False,
+    )
+    cfgd = yaml.safe_load(open(os.path.join(d, "config.yaml")))
+    cfgd["advanced"]["refinement"]["symmetric_analysis"] = True
+    yaml.safe_dump(cfgd, open(os.path.join(d, "config.yaml"), "w"))
+    cfg = load_case_config(d)
+    assert cfg.symmetric_analysis
+    res = solve_case(cfg)
+    assert res.final_stats.rho_min > 0.8
+    # symmetry zeroing
+    assert res.final_forces.Fy == 0.0
+    assert res.final_forces.Mx == 0.0 and res.final_forces.Mz == 0.0
+    assert np.isfinite(res.final_forces.Cd)
+
+
+def test_wing_case_smoke(tmp_path):
+    from open_ludwig_tpu.cases import make_case_wing
+
+    d = str(tmp_path)
+    make_case_wing(
+        d, alpha_deg=5.0, surface_resolution=8, num_levels=1, steps=8,
+        ramp_steps=4, output_freq=100, diag_freq=100, wake_enabled=False,
+        boundary_method="bounce_back",
+    )
+    cfg = load_case_config(d)
+    res = solve_case(cfg)
+    assert res.final_stats.rho_min > 0.8
+    assert np.isfinite(res.final_forces.Cl)
