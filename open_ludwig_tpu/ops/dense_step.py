@@ -427,11 +427,15 @@ def build_bouzidi_dense_plan(patch: PatchLevel, q_min: float) -> Optional[Dict]:
     cy = bz.cell_gy - lo[1]
     cz = bz.cell_gz - lo[2]
 
+    # Coefficients with the x_ff-outside fallback folded in:
+    #   val = A*f[k](cell) + BLO*f[k](cell + c_opp) + BHI*f[opp_k](cell)
+    # with BLO zeroed (and its weight moved into A) where x_ff leaves the
+    # interior, matching the reference's f_ff = f_k fallback.  Cells with no
+    # link have A = BLO = BHI = 0, and "active" is simply A > 0 (A is always
+    # positive on a link: min(2q, 1/(2q)) > 0 for q in (0, 1]).
     A = np.zeros((27,) + bdim, np.float32)
     BLO = np.zeros((27,) + bdim, np.float32)
     BHI = np.zeros((27,) + bdim, np.float32)
-    FFIN = np.zeros((27,) + bdim, np.float32)  # 1 where x_ff inside interior
-    MASK = np.zeros((27,) + bdim, bool)
     for k in range(27):
         if k == 13:
             continue
@@ -443,10 +447,6 @@ def build_bouzidi_dense_plan(patch: PatchLevel, q_min: float) -> Optional[Dict]:
         qs = qv[sel]
         x, y, z = cx[sel], cy[sel], cz[sel]
         lo_case = qs < 0.5
-        MASK[k, x, y, z] = True
-        A[k, x, y, z] = np.where(lo_case, 2.0 * qs, 1.0 / (2.0 * qs))
-        BLO[k, x, y, z] = np.where(lo_case, 1.0 - 2.0 * qs, 0.0)
-        BHI[k, x, y, z] = np.where(lo_case, 0.0, (2.0 * qs - 1.0) / (2.0 * qs))
         # x_ff = cell + c_opp; fall back to f[k] at the cell when outside
         gx = bz.cell_gx[sel] + lat.C_X[int(lat.OPP[k])]
         gy = bz.cell_gy[sel] + lat.C_Y[int(lat.OPP[k])]
@@ -454,15 +454,17 @@ def build_bouzidi_dense_plan(patch: PatchLevel, q_min: float) -> Optional[Dict]:
         inside = (
             (gx >= 0) & (gx < X) & (gy >= 0) & (gy < Y) & (gz >= 0) & (gz < Z)
         )
-        FFIN[k, x, y, z] = inside.astype(np.float32)
+        a = np.where(lo_case, 2.0 * qs, 1.0 / (2.0 * qs))
+        blo = np.where(lo_case, 1.0 - 2.0 * qs, 0.0)
+        A[k, x, y, z] = a + np.where(inside, 0.0, blo)
+        BLO[k, x, y, z] = np.where(inside, blo, 0.0)
+        BHI[k, x, y, z] = np.where(lo_case, 0.0, (2.0 * qs - 1.0) / (2.0 * qs))
     return {
         "lo": tuple(int(v) for v in lo),
         "dim": bdim,
         "A": jnp.asarray(A),
         "BLO": jnp.asarray(BLO),
         "BHI": jnp.asarray(BHI),
-        "FFIN": jnp.asarray(FFIN),
-        "MASK": jnp.asarray(MASK),
     }
 
 
@@ -480,14 +482,7 @@ def apply_bouzidi_dense(f_out: jnp.ndarray, plan: Dict) -> jnp.ndarray:
         cxk, cyk, czk = int(lat.C_X[k]), int(lat.C_Y[k]), int(lat.C_Z[k])
         # f[k] at cell + c_opp = roll by +c (roll(a, s)[i] = a[i - s])
         ff = jnp.roll(box[k], (cxk, cyk, czk), axis=(0, 1, 2))
-        ffin = plan["FFIN"][k]
-        other_lo = ff * ffin + box[k] * (1.0 - ffin)
-        val = (
-            plan["A"][k] * box[k]
-            + plan["BLO"][k] * other_lo
-            + plan["BHI"][k] * box[opp_k]
-        )
-        new_box = new_box.at[opp_k].set(
-            jnp.where(plan["MASK"][k], val, new_box[opp_k])
-        )
+        a = plan["A"][k]
+        val = a * box[k] + plan["BLO"][k] * ff + plan["BHI"][k] * box[opp_k]
+        new_box = new_box.at[opp_k].set(jnp.where(a > 0, val, new_box[opp_k]))
     return jax.lax.dynamic_update_slice(f_out, new_box, (0, lx, ly, lz))

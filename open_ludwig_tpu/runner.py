@@ -287,15 +287,48 @@ def run_all_cases(cases_root: str, batch_file: str) -> None:
     log.info("ALL CASES COMPLETED")
 
 
+def plan_case(cfg: CaseConfig) -> None:
+    """Build the domain and print the setup/memory report without running —
+    the reference's domain summary + VRAM capacity planning analogue
+    (reference: physics_scaling.jl:178-187, diagnostics_vram.jl)."""
+    from .core.patch import build_patches
+    from .geometry import load_mesh
+    from .scaling import compute_domain_params
+    from .solver_dense import build_patch_statics, hbm_report_patches
+
+    mesh = load_mesh(cfg.stl_path, scale=cfg.stl_scale)
+    params = compute_domain_params(cfg, mesh.min_bounds, mesh.max_bounds)
+    log.info("Case: %s | %d triangles", os.path.basename(cfg.case_dir),
+             mesh.n_triangles)
+    log.info("Re = %.3e | levels = %d | dx_fine = %.5g m | tau = %s",
+             params.re_number, params.num_levels, params.dx_fine,
+             ", ".join(f"{t:.6f}" for t in params.tau_levels))
+    log.info("domain = %.2f x %.2f x %.2f m | coarse grid %dx%dx%d",
+             *params.domain_size, params.nx_coarse, params.ny_coarse,
+             params.nz_coarse)
+    patches = build_patches(cfg, mesh, params)
+    statics = build_patch_statics(cfg, patches)
+    log.info(hbm_report_patches(patches, statics))
+    total = sum(p.n_cells for p in patches)
+    upd = sum(p.n_cells * 2 ** (p.level_id - 1) for p in patches)
+    log.info("total %.2fM cells | %.2fM site-updates per coarse step | %d steps",
+             total / 1e6, upd / 1e6, cfg.steps)
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(message)s", stream=sys.stdout)
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
         print("usage: python -m open_ludwig_tpu.runner <case_dir> [<case_dir>...]\n"
+              "       python -m open_ludwig_tpu.runner --plan <case_dir>\n"
               "       python -m open_ludwig_tpu.runner --batch <cases_to_run.yaml> <cases_root>")
         return 1
     if argv[0] == "--batch":
         run_all_cases(argv[2] if len(argv) > 2 else "CASES", argv[1])
+        return 0
+    if argv[0] == "--plan":
+        for case_dir in argv[1:]:
+            plan_case(load_case_config(case_dir))
         return 0
     for case_dir in argv:
         cfg = load_case_config(case_dir)
