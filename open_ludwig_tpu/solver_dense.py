@@ -188,3 +188,12 @@ def hbm_report_patches(patches: List[PatchLevel], statics: List[Dict]) -> str:
         )
     lines.append(f"  total: {total/1e9:.3f} GB")
     return "\n".join(lines)
+
+
+def estimate_capacity(hbm_gb: float = 16.0) -> int:
+    """Cells that fit in the given HBM, the reference's mesh-capacity planner
+    analogue (reference: src/diagnostics_vram.jl estimate_mesh_capacity).
+    State is 31 f32/cell + 9 B of static fields; XLA transients roughly double
+    the f working set during a step."""
+    bytes_per_cell = 31 * 4 + 9 + 27 * 4  # state + fields + transient f copy
+    return int(hbm_gb * 1e9 / bytes_per_cell)

@@ -170,3 +170,44 @@ def test_checkpoint_roundtrip(tmp_path):
     step, loaded = load_checkpoint(latest_checkpoint(d))
     assert step == 456
     assert np.allclose(np.asarray(loaded[0]["f"]), np.asarray(states[0]["f"]))
+
+
+def test_flow_export_with_vorticity(tmp_path):
+    from open_ludwig_tpu.core.patch import PatchLevel
+    from open_ludwig_tpu.io.vtk import export_flow_vtu_patches
+
+    p = PatchLevel(
+        1, 0.1, 0.55, (0, 0, 0), (8, 8, 8), (8, 8, 128),
+        (0, 1, 2, 2, 3, 3),
+        np.zeros((8, 8, 128), bool),
+        np.zeros((8, 8, 128), np.float32),
+        np.full((8, 8, 128), 100.0, np.float32),
+    )
+    rng = np.random.default_rng(0)
+    states = [{
+        "rho": jnp.asarray(np.ones((8, 8, 128), np.float32)),
+        "vel": jnp.asarray(rng.random((3, 8, 8, 128)).astype(np.float32) * 0.01),
+    }]
+    path = str(tmp_path / "f.vtu")
+    export_flow_vtu_patches(path, [p], states, OutputFields(vorticity=True))
+    root = ET.parse(path).getroot()
+    names = [d.attrib.get("Name") for d in root.findall(".//DataArray")]
+    assert "Vorticity" in names
+
+
+def test_surface_loads_csv(tmp_path):
+    from open_ludwig_tpu.io.csv_out import export_surface_loads_csv
+
+    path = str(tmp_path / "loads.csv")
+    export_surface_loads_csv(
+        path,
+        centers=np.zeros((2, 3)),
+        normals=np.tile([0, 0, 1.0], (2, 1)),
+        areas=np.array([0.5, 0.25]),
+        pressure=np.array([10.0, -5.0]),
+        shear=np.zeros((3, 2)),
+        mesh_offset=(1.0, 2.0, 3.0),
+    )
+    lines = open(path).read().splitlines()
+    assert lines[0].startswith("triangle_id,cx,cy,cz,nx,ny,nz,area_m2,pressure_Pa")
+    assert len(lines) == 3
