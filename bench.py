@@ -1,13 +1,20 @@
 """Headline benchmark: MLUPS/chip on the sphere Re~1M virtual wind tunnel.
 
 Mirrors the reference's validated sphere setup (reference:
-RESULTS_SPHERE_RE1M.txt:34-44 — N=25 cells/diameter, u_lat=0.03, 3 levels,
-~1.6M cells) and measures sustained million-lattice-updates/second over a
-timed window after warmup.  vs_baseline is against the reference's best
-claimed single-GPU number (800 MLUPS at 1M cells on an RTX 4090,
-reference: README.md:506).
+RESULTS_SPHERE_RE1M.txt:34-44 — N=25 cells/diameter, u_lat=0.03, 3 levels)
+and measures sustained million-lattice-updates/second over a timed window
+after warmup.  vs_baseline grades against the BASELINE.json acceptance
+target of 2000 MLUPS/chip (the reference's own best claim is 800 MLUPS at
+1M cells on an RTX 4090, reference: README.md:506; its measured number is
+71.7 MLUPS, reference: RESULTS_SPHERE_RE1M.txt:239).
 
-Prints ONE JSON line.
+Prints ONE JSON line.  Guaranteed to print it: any failure (TPU tunnel
+down, backend init error, OOM) falls back to the last persisted
+measurement with explicit provenance; a watchdog covers hangs.
+
+`--sweep` additionally benches single-level dense boxes at 1M/8M/64M cells
+(mirroring the reference's size table, reference: README.md:506-509) and
+writes BENCH_SWEEP.json; the headline JSON line is still the last line.
 """
 
 import json
@@ -19,37 +26,41 @@ import time
 
 import numpy as np
 
-_RESULT_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_last_result.json")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_RESULT_CACHE = os.path.join(_HERE, "bench_last_result.json")
 _WATCHDOG_S = float(os.environ.get("OPEN_LUDWIG_BENCH_TIMEOUT", 2400))
+_TARGET_MLUPS = 2000.0  # BASELINE.json acceptance target
 
 
-def _watchdog():
-    """If the TPU tunnel is wedged (observed: requests hang indefinitely),
-    emit the last persisted measurement with explicit provenance instead of
-    hanging the caller forever."""
-    time.sleep(_WATCHDOG_S)
+def _emit_fallback(why: str):
+    """Emit the last persisted measurement (with provenance) or a zero
+    result; never raise."""
     try:
         res = json.load(open(_RESULT_CACHE))
-        res["metric"] += " [cached result from a previous run: bench timed out, TPU tunnel unavailable]"
+        res["metric"] = (
+            res.get("metric", "MLUPS/chip").split(" [cached")[0]
+            + f" [cached result from a previous run; this run failed: {why}]"
+        )
+        res["vs_baseline"] = round(float(res.get("value", 0.0)) / _TARGET_MLUPS, 3)
     except Exception:
         res = {
-            "metric": "MLUPS/chip (bench FAILED: TPU unavailable/timeout)",
+            "metric": f"MLUPS/chip (bench FAILED: {why})",
             "value": 0.0,
             "unit": "MLUPS",
             "vs_baseline": 0.0,
         }
     print(json.dumps(res), flush=True)
+
+
+def _watchdog():
+    """If the TPU tunnel is wedged (observed: requests hang indefinitely),
+    emit the last persisted measurement instead of hanging the caller."""
+    time.sleep(_WATCHDOG_S)
+    _emit_fallback("timeout, TPU tunnel unavailable")
     os._exit(0)
 
 
-def main():
-    import jax
-
-    from open_ludwig_tpu.jax_setup import setup_jax_cache
-
-    setup_jax_cache()
-
+def _build_sphere_runner(surface_resolution=25, num_levels=3):
     from open_ludwig_tpu.cases import make_case_sphere
     from open_ludwig_tpu.config import load_case_config
     from open_ludwig_tpu.core.patch import build_patches
@@ -65,8 +76,8 @@ def main():
     make_case_sphere(
         tmp,
         "1M",
-        surface_resolution=25,
-        num_levels=3,
+        surface_resolution=surface_resolution,
+        num_levels=num_levels,
         steps=400,
         ramp_steps=200,
         output_freq=100000,
@@ -80,31 +91,80 @@ def main():
     statics = build_patch_statics(cfg, levels)
     states = [init_patch_state(p) for p in levels]
     total_cells = sum(p.n_cells for p in levels)
-    # work per coarse step: level l runs 2^(l-1) sub-steps
-    updates_per_coarse = sum(
-        p.n_cells * 2 ** (p.level_id - 1) for p in levels
-    )
+    updates_per_coarse = sum(p.n_cells * 2 ** (p.level_id - 1) for p in levels)
     run = make_batch_runner_dense(cfg, params, levels, statics)
+    return run, states, total_cells, updates_per_coarse
 
-    # warmup + compile (same static batch length as the timed calls)
-    batch = 50
+
+def _time_runner(run, states, updates_per_coarse, batch=50, n_timed=200):
+    import jax
+
     states = run(states, np.int32(1), batch)
     jax.block_until_ready(states[0]["rho"])
-
-    n_timed = 200
     t0 = time.time()
     for i in range(n_timed // batch):
         states = run(states, np.int32(batch + 1 + i * batch), batch)
     jax.block_until_ready(states[0]["rho"])
     dt = time.time() - t0
+    return updates_per_coarse * n_timed / dt / 1e6
 
-    mlups = updates_per_coarse * n_timed / dt / 1e6
+
+def _sweep():
+    """Single-level dense-box size sweep at ~1M/8M/64M cells (reference's
+    perf table sizes, reference: README.md:506-509)."""
+    from open_ludwig_tpu.cases import make_case_sphere
+    from open_ludwig_tpu.config import load_case_config
+    from open_ludwig_tpu.core.patch import build_patches
+    from open_ludwig_tpu.geometry import load_mesh
+    from open_ludwig_tpu.scaling import compute_domain_params
+    from open_ludwig_tpu.solver_dense import (
+        build_patch_statics,
+        init_patch_state,
+        make_batch_runner_dense,
+    )
+
+    rows = []
+    for label, res in (("1M", 25), ("8M", 50), ("64M", 100)):
+        tmp = tempfile.mkdtemp()
+        make_case_sphere(
+            tmp, label, surface_resolution=res, num_levels=1,
+            steps=100, ramp_steps=50, output_freq=100000, diag_freq=100000,
+        )
+        cfg = load_case_config(tmp)
+        mesh = load_mesh(cfg.stl_path, scale=cfg.stl_scale)
+        params = compute_domain_params(cfg, mesh.min_bounds, mesh.max_bounds)
+        levels = build_patches(cfg, mesh, params)
+        statics = build_patch_statics(cfg, levels)
+        states = [init_patch_state(p) for p in levels]
+        cells = sum(p.n_cells for p in levels)
+        run = make_batch_runner_dense(cfg, params, levels, statics)
+        n_timed = max(20, min(200, int(4e9 / cells)))
+        batch = max(5, n_timed // 4)
+        n_timed = batch * 4
+        mlups = _time_runner(run, states, cells, batch=batch, n_timed=n_timed)
+        rows.append({"cells": cells, "label": label, "mlups": round(mlups, 1)})
+        print(f"# sweep {label}: {cells/1e6:.1f}M cells -> {mlups:.0f} MLUPS",
+              file=sys.stderr, flush=True)
+    json.dump(rows, open(os.path.join(_HERE, "BENCH_SWEEP.json"), "w"), indent=1)
+    return rows
+
+
+def main():
+    from open_ludwig_tpu.jax_setup import setup_jax_cache
+
+    setup_jax_cache()
+
+    if "--sweep" in sys.argv:
+        _sweep()
+
+    run, states, total_cells, updates_per_coarse = _build_sphere_runner()
+    mlups = _time_runner(run, states, updates_per_coarse)
     result = {
         "metric": "MLUPS/chip (D3Q27 sphere Re1M, 3 levels, "
         f"{total_cells/1e6:.2f}M cells)",
         "value": round(mlups, 1),
         "unit": "MLUPS",
-        "vs_baseline": round(mlups / 800.0, 3),
+        "vs_baseline": round(mlups / _TARGET_MLUPS, 3),
     }
     try:
         json.dump(result, open(_RESULT_CACHE, "w"))
@@ -115,4 +175,8 @@ def main():
 
 if __name__ == "__main__":
     threading.Thread(target=_watchdog, daemon=True).start()
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — must emit JSON no matter what
+        _emit_fallback(f"{type(e).__name__}: {e}"[:200])
+        sys.exit(0)
