@@ -123,7 +123,8 @@ def export_flow_vtu(
         blocks.append(keep)
 
     pt_chunks, conn_chunks = [], []
-    data = {name: [] for name in ("Density", "Velocity", "VelocityMagnitude", "Obstacle", "Level")}
+    data = {name: [] for name in ("Density", "Velocity", "VelocityMagnitude",
+                                  "Vorticity", "Obstacle", "Level")}
     pt_base = 0
     e = BLOCK_EDGE + 1
     # template point lattice / connectivity for one block
@@ -163,6 +164,11 @@ def export_flow_vtu(
         data["Density"].append(rho.reshape(-1))
         data["Velocity"].append(np.moveaxis(vel, 0, -1).reshape(-1, 3))
         data["VelocityMagnitude"].append(np.sqrt((vel**2).sum(axis=0)).reshape(-1))
+        if fields.vorticity:
+            from ..diagnostics import vorticity_magnitude
+
+            w = np.asarray(vorticity_magnitude(st["vel"]))[keep]
+            data["Vorticity"].append(w.reshape(-1))
         data["Obstacle"].append(obs.reshape(-1).astype(np.uint8))
         data["Level"].append(np.full(m * 512, geo.level_id, np.int32))
 
@@ -175,6 +181,8 @@ def export_flow_vtu(
         cell_data["Velocity"] = _scrub(np.concatenate(data["Velocity"]))
     if fields.velocity_magnitude:
         cell_data["VelocityMagnitude"] = _scrub(np.concatenate(data["VelocityMagnitude"]))
+    if fields.vorticity and data["Vorticity"]:
+        cell_data["Vorticity"] = _scrub(np.concatenate(data["Vorticity"]))
     if fields.obstacle:
         cell_data["Obstacle"] = np.concatenate(data["Obstacle"])
     if fields.level:

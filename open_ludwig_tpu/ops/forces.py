@@ -21,6 +21,7 @@ with symmetry doubling of Fx/Fz/My and zeroing of Fy/Mx/Mz for half models
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from functools import partial
 from typing import Dict, Tuple
@@ -28,6 +29,8 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+log = logging.getLogger("open_ludwig_tpu")
 
 from ..domain.builder import LevelGeometry
 from ..geometry import TriMesh
@@ -134,10 +137,25 @@ class ForceContext:
     symmetric: bool
 
 
+def _report_coverage(found: np.ndarray, what: str) -> None:
+    """Stress-mapping coverage diagnostics, mirroring the reference's
+    mapped/total triangle statistics (reference: forces/surface.jl:425-445)."""
+    n = int(found.size)
+    ok = int(np.count_nonzero(found))
+    msg = "[Forces] stress mapping (%s): %d/%d triangles mapped (%.1f%%)"
+    log.info(msg, what, ok, n, 100.0 * ok / max(n, 1))
+    if ok < n:
+        log.warning(
+            "[Forces] %d triangles found no nearby fluid cell; their "
+            "pressure/shear contribution is zero", n - ok,
+        )
+
+
 def make_force_context(
     mesh: TriMesh, geo: LevelGeometry, params: DomainParams, search_radius: int = 5
 ) -> ForceContext:
     m = build_triangle_cell_map(mesh, geo, params, search_radius)
+    _report_coverage(m["found"], "blocks layout")
     offset = np.asarray(params.mesh_offset)
     pressure_scale = params.rho_physical * params.velocity_scale**2
     return ForceContext(
@@ -333,6 +351,7 @@ def build_triangle_cell_map_dense(
 def make_force_context_dense(mesh: TriMesh, patch, params: DomainParams,
                              search_radius: int = 5) -> ForceContext:
     m = build_triangle_cell_map_dense(mesh, patch, params, search_radius)
+    _report_coverage(m["found"], "patch layout")
     offset = np.asarray(params.mesh_offset)
     pressure_scale = params.rho_physical * params.velocity_scale**2
     return ForceContext(

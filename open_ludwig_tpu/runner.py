@@ -118,6 +118,11 @@ def solve_case(cfg: CaseConfig) -> SolveResult:
         write_convergence_header(conv_csv)
         if cfg.forces_enabled:
             write_forces_header(force_csv)
+    else:
+        # drop rows past the resume step so a re-run after a late crash
+        # doesn't duplicate Step entries in the histories
+        _truncate_csv_after_step(conv_csv, resume_step)
+        _truncate_csv_after_step(force_csv, resume_step)
 
     if cfg.forces_enabled:
         force_ctx = (
@@ -139,8 +144,11 @@ def solve_case(cfg: CaseConfig) -> SolveResult:
         "Step", "Walltime", "Time[s]", "U_lat", "rho_min", "MLUPS", "Cd", "Cl",
     )
 
-    # event boundaries: diagnostics, VTK, checkpoint
+    # event boundaries: diagnostics, VTK, forces, checkpoint
+    fof = cfg.effective_force_output_freq if cfg.forces_enabled else 0
     freqs = [cfg.diag_freq, cfg.output_freq]
+    if fof > 0:
+        freqs.append(fof)
     if cfg.checkpoint_freq > 0:
         freqs.append(cfg.checkpoint_freq)
 
@@ -160,8 +168,26 @@ def solve_case(cfg: CaseConfig) -> SolveResult:
         next_events = [((t - 1) // f + 1) * f for f in freqs]
         batch_end = min(min(next_events), cfg.steps)
         n = batch_end - t + 1
-        states = run(states, np.int32(t), int(n))
+        # async_depth (reference: gpu.async_depth, main.jl:166-180) bounds the
+        # coarse steps per dispatch; dispatches stay async (no host sync until
+        # the event boundary below), so this only caps host-check granularity
+        depth = cfg.async_depth if cfg.async_depth > 0 else n
+        t_sub = t
+        while t_sub <= batch_end:
+            n_sub = min(depth, batch_end - t_sub + 1)
+            states = run(states, np.int32(t_sub), int(n_sub))
+            t_sub += n_sub
         t_done = batch_end
+
+        # force-CSV cadence independent of diagnostics (reference:
+        # FORCE_OUTPUT_FREQ falling back to DIAG_FREQ, config_loader.jl:192)
+        if force_ctx is not None and fof > 0 and t_done % fof == 0:
+            fr = compute_aerodynamics(states[-1], force_ctx)
+            last_forces = fr
+            append_forces(
+                force_csv, t_done, t_done * params.time_scale, fr,
+                _ramp_host(t_done, cfg),
+            )
 
         if t_done % cfg.diag_freq == 0 or t_done == cfg.steps:
             jax.block_until_ready(states[0]["rho"])
@@ -175,10 +201,12 @@ def solve_case(cfg: CaseConfig) -> SolveResult:
             u_curr = _ramp_host(t_done, cfg)
             cd_str = cl_str = "N/A"
             if force_ctx is not None:
-                fr = compute_aerodynamics(states[-1], force_ctx)
-                last_forces = fr
+                if last_forces is None or t_done % fof != 0:
+                    last_forces = compute_aerodynamics(states[-1], force_ctx)
+                fr = last_forces
                 cd_str, cl_str = f"{fr.Cd:.4f}", f"{fr.Cl:.4f}"
-                append_forces(force_csv, t_done, t_phys, fr, u_curr)
+                if fof <= 0 or t_done % fof != 0:
+                    append_forces(force_csv, t_done, t_phys, fr, u_curr)
             wall = walltime_str(t_start)
             log.info(
                 "%8d | %12s | %10.4f | %.4f | %.4f | %7.1f | %8s | %8s",
@@ -266,6 +294,28 @@ def solve_case(cfg: CaseConfig) -> SolveResult:
     )
 
 
+def _truncate_csv_after_step(path: str, resume_step: int) -> None:
+    """Keep only the header and rows with Step <= resume_step."""
+    if not os.path.isfile(path):
+        return
+    with open(path) as f:
+        lines = f.readlines()
+    if not lines:
+        return
+    kept = [lines[0]]
+    for ln in lines[1:]:
+        try:
+            if int(ln.split(",", 1)[0]) <= resume_step:
+                kept.append(ln)
+        except ValueError:
+            kept.append(ln)
+    if len(kept) != len(lines):
+        with open(path, "w") as f:
+            f.writelines(kept)
+        log.info("[Checkpoint] truncated %s to step %d (%d rows dropped)",
+                 os.path.basename(path), resume_step, len(lines) - len(kept))
+
+
 def _ramp_host(t: int, cfg: CaseConfig) -> float:
     if t <= cfg.ramp_steps:
         return float(cfg.u_lattice * 0.5 * (1 - np.cos(np.pi * t / cfg.ramp_steps)))
@@ -294,7 +344,7 @@ def plan_case(cfg: CaseConfig) -> None:
     from .core.patch import build_patches
     from .geometry import load_mesh
     from .scaling import compute_domain_params
-    from .solver_dense import build_patch_statics, hbm_report_patches
+    from .solver_dense import build_patch_statics, estimate_capacity, hbm_report_patches
 
     mesh = load_mesh(cfg.stl_path, scale=cfg.stl_scale)
     params = compute_domain_params(cfg, mesh.min_bounds, mesh.max_bounds)
@@ -313,6 +363,9 @@ def plan_case(cfg: CaseConfig) -> None:
     upd = sum(p.n_cells * 2 ** (p.level_id - 1) for p in patches)
     log.info("total %.2fM cells | %.2fM site-updates per coarse step | %d steps",
              total / 1e6, upd / 1e6, cfg.steps)
+    cap = estimate_capacity(16.0)
+    log.info("capacity: ~%.0fM cells fit a 16 GB chip -> this case uses %.1f%%",
+             cap / 1e6, 100.0 * sum(p.n_padded for p in patches) / cap)
 
 
 def main(argv=None):
