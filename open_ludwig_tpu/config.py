@@ -120,6 +120,8 @@ class CaseConfig:
     precision: str = "float32"
     layout: str = "patch"             # "patch" (dense nested boxes, TPU fast
                                       # path) or "blocks" (sparse 8^3 blocks)
+    devices: int = 1                  # >1: shard the run over an x-slab
+                                      # device mesh (patch layout only)
 
     @property
     def reference_area(self) -> float:
@@ -271,6 +273,7 @@ def parse_config(cfg: Dict, case_dir: str = "") -> CaseConfig:
         checkpoint_resume=bool(_get(cfg, "advanced", "checkpoint", "resume", default=False)),
         precision=str(_get(cfg, "advanced", "numerics", "precision", default="float32")),
         layout=str(_get(cfg, "advanced", "engine", "layout", default="patch")),
+        devices=int(_get(cfg, "advanced", "engine", "devices", default=1)),
     )
 
 

@@ -80,9 +80,16 @@ def _pad_field(arr: np.ndarray, padded, fill) -> np.ndarray:
 
 
 def build_patches(
-    cfg: CaseConfig, mesh: TriMesh, params: DomainParams
+    cfg: CaseConfig, mesh: TriMesh, params: DomainParams,
+    x_multiple: int = 1,
 ) -> List[PatchLevel]:
+    """x_multiple > 1 pads the x (slab) dim of every level to that multiple
+    so x-slab device sharding divides evenly.  Pad planes sit beyond the
+    interior x-face whose BC masks are at interior coordinates, so they are
+    never read by interior physics (obstacle-filled, like y/z tile pads)."""
     num_levels = params.num_levels
+    if x_multiple <= 1 and cfg.devices > 1:
+        x_multiple = cfg.devices
     offset = np.asarray(params.mesh_offset)
     verts_placed = mesh.vertices + offset[None, None, :]
     pmin = verts_placed.reshape(-1, 3).min(axis=0)
@@ -152,7 +159,11 @@ def build_patches(
             lo, hi = blo, bhi
 
         interior = tuple(int(v) for v in (hi - lo))
-        padded = (interior[0], _ceil(interior[1], 8), _ceil(interior[2], 128))
+        padded = (
+            _ceil(interior[0], max(x_multiple, 1)),
+            _ceil(interior[1], 8),
+            _ceil(interior[2], 128),
+        )
         face_bc = []
         for f in range(6):
             ax, side = FACE_AXIS[f], FACE_SIDE[f]

@@ -132,7 +132,20 @@ def solve_case(cfg: CaseConfig) -> SolveResult:
         )
     else:
         force_ctx = None
-    if dense:
+    if dense and cfg.devices > 1:
+        from .parallel.patch_shard import (
+            make_batch_runner_sharded,
+            make_x_mesh,
+            shard_states,
+            shard_statics,
+        )
+
+        dev_mesh = make_x_mesh(cfg.devices)
+        statics = shard_statics(statics, levels, dev_mesh)
+        states = shard_states(states, dev_mesh)
+        run = make_batch_runner_sharded(cfg, params, levels, statics, dev_mesh)
+        log.info("[Mesh] sharded over %d devices (x-slabs)", dev_mesh.size)
+    elif dense:
         run = make_batch_runner_dense(cfg, params, levels, statics)
     else:
         run = make_batch_runner(cfg, params, statics)
