@@ -31,7 +31,13 @@ def save_checkpoint(path_dir: str, step: int, states: List[Dict]) -> str:
     }
     for i, st in enumerate(states):
         for key, arr in st.items():
-            payload[f"L{i}_{key}"] = np.asarray(arr)
+            a = np.asarray(arr)
+            if a.dtype == jnp.bfloat16:
+                # npz can't serialize the ml_dtypes extension dtype; store the
+                # raw bits and tag the key (bf16 g-storage, ops.storage)
+                payload[f"L{i}_{key}__bf16"] = a.view(np.uint16)
+            else:
+                payload[f"L{i}_{key}"] = a
     with open(tmp, "wb") as f:
         np.savez(f, **payload)
     os.replace(tmp, path)
@@ -53,6 +59,10 @@ def load_checkpoint(path: str) -> Tuple[int, List[Dict]]:
     for i in range(n):
         st = {}
         for key in ("f", "rho", "vel"):
-            st[key] = jnp.asarray(data[f"L{i}_{key}"])
+            tagged = f"L{i}_{key}__bf16"
+            if tagged in data:
+                st[key] = jnp.asarray(data[tagged]).view(jnp.bfloat16)
+            else:
+                st[key] = jnp.asarray(data[f"L{i}_{key}"])
         states.append(st)
     return int(data["step"]), states

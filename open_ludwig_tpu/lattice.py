@@ -89,6 +89,40 @@ REG_MAT = (
     )
 ).astype(np.float32)
 
+# --- full moment-space collision matrices (MXU path) ------------------------
+# Forward: m = MOM_MAT @ f with MOM_MAT (10, 27); rows are
+#   [1, c_x, c_y, c_z, c_x^2, c_y^2, c_z^2, c_x c_y, c_y c_z, c_z c_x]
+# giving (rho_raw, j (3), raw second moments S (6)).
+MOM_MAT = np.concatenate(
+    [np.ones((1, Q)), C.astype(np.float64), PI_MAT.astype(np.float64)]
+).astype(np.float32)
+
+# Backward: f_out = BACK_MAT @ y with BACK_MAT (27, 16) and the 16 fields
+#   y0      = rho - 1.5 rho |u_eq|^2 - 3 e            (e = guo * u.F, 0 w/o wall model)
+#   y1..3   = rho u_eq_a + G_a                        (G = guo * F)
+#   y4..6   = rho u_eq_a^2 + 2 G_a u_eq_a
+#   y7..9   = rho u_eq_a u_eq_b + G_a u_eq_b + G_b u_eq_a   (ab = xy, yz, zx)
+#   y10..15 = (1 - omega) Pi_neq                      (xx, yy, zz, xy, yz, zx)
+# This single matrix is the exact sum of the equilibrium (reference:
+# src/physics_utils.jl:34-39), the regularized non-equilibrium reconstruction
+# (src/physics_kernels.jl:339-346) and Guo forcing (src/physics_kernels.jl:348)
+# — each is linear in these fields, so the three per-direction loops of the
+# scalar formulation collapse into one MXU matmul.
+BACK_MAT = np.concatenate(
+    [
+        W64[:, None] * np.ones((Q, 1)),                    # y0
+        3.0 * W64[:, None] * C.T.astype(np.float64),       # y1..3
+        4.5 * W64[:, None] * np.stack(
+            [C_X * C_X, C_Y * C_Y, C_Z * C_Z], axis=1
+        ).astype(np.float64),                              # y4..6
+        9.0 * W64[:, None] * np.stack(
+            [C_X * C_Y, C_Y * C_Z, C_Z * C_X], axis=1
+        ).astype(np.float64),                              # y7..9
+        REG_MAT.astype(np.float64),                        # y10..15
+    ],
+    axis=1,
+).astype(np.float32)
+
 # Flat-cell roll offset inside an 8^3 block for pull streaming.
 # Local flat index = z*64 + y*8 + x; source cell = (x-cx, y-cy, z-cz), so
 # streamed[k][flat] = f[k][flat - OFF[k]] = roll(f[k], OFF[k]).

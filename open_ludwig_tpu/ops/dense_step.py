@@ -39,6 +39,7 @@ from ..core.patch import (
     PatchLevel,
 )
 from .collide_math import collide, hash_noise, inlet_equilibrium
+from .storage import decode_f
 
 _C = jnp.asarray(lat.C)
 _W = jnp.asarray(lat.W)
@@ -67,12 +68,20 @@ def interface_endpoints(
     patch: PatchLevel,
     parent: PatchLevel,
     p_state: Dict,
+    _states: Optional[List[Dict]] = None,  # batch of states (endpoints_pair)
 ) -> Dict[int, Dict]:
     """Per interface face: trilinearly upsampled (f, rho, u) ghost planes for
     ONE parent state.  The temporal blend is linear and commutes with the
     (linear) slab/upsample pipeline, so the scheduler computes endpoints once
     per parent step for (old, new) and each fine sub-step only lerps +
-    applies the nonlinear feq/rescale (interface_from_endpoints)."""
+    applies the nonlinear feq/rescale (interface_from_endpoints).
+
+    With `_states`, a batch of parent states shares one slab/upsample op
+    sequence: each state's slab is sliced first (small), then stacked — never
+    stack the full parent arrays, that copies them wholesale."""
+    states = _states if _states is not None else [p_state]
+    batched = _states is not None
+    _extra_lead = 1 if batched else 0
     out = {}
     for face in range(6):
         if patch.face_bc[face] != BC_INTERFACE:
@@ -121,7 +130,14 @@ def interface_endpoints(
             return jnp.transpose(sl, perm)
 
         def interp(key, lead):
-            sl = slab(p_state[key], lead)
+            if batched:
+                sl = jnp.stack([slab(st[key], lead) for st in states])
+            else:
+                sl = slab(p_state[key], lead)
+            lead = lead + _extra_lead
+            if key == "f":
+                # bf16 g-storage -> f32 f (no-op for f32)
+                sl = decode_f(sl, k_axis=_extra_lead)
             s0 = jax.lax.index_in_dim(sl, 0, lead, keepdims=False)
             s1 = jax.lax.index_in_dim(sl, 1, lead, keepdims=False)
             v = (1.0 - w_face) * s0 + w_face * s1
@@ -130,11 +146,27 @@ def interface_endpoints(
             return v
 
         out[face] = {
-            "f": interp("f", 1),       # (27, A+2, B+2)
-            "rho": interp("rho", 0),   # (A+2, B+2)
-            "vel": interp("vel", 1),   # (3, A+2, B+2)
+            "f": interp("f", 1),       # ([extra,] 27, A+2, B+2)
+            "rho": interp("rho", 0),   # ([extra,] A+2, B+2)
+            "vel": interp("vel", 1),   # ([extra,] 3, A+2, B+2)
         }
     return out
+
+
+def interface_endpoints_pair(
+    patch: PatchLevel,
+    parent: PatchLevel,
+    p_old: Dict,
+    p_new: Dict,
+) -> Tuple[Dict[int, Dict], Dict[int, Dict]]:
+    """(old, new) endpoint planes in ONE slab/upsample pass: the two parent
+    states are stacked on a leading axis so the slice/pad/interp op sequence
+    runs once instead of twice (cuts the per-coarse-step interface overhead
+    roughly in half vs two interface_endpoints calls)."""
+    both = interface_endpoints(patch, parent, None, _states=[p_old, p_new])
+    old = {f: {k: v[0] for k, v in d.items()} for f, d in both.items()}
+    new = {f: {k: v[1] for k, v in d.items()} for f, d in both.items()}
+    return old, new
 
 
 def interface_from_endpoints(
@@ -154,7 +186,12 @@ def interface_from_endpoints(
     tw = jnp.float32(temporal_weight)
     out = {}
     for face, new in ep_new.items():
-        if blend:
+        if blend and temporal_weight == 0.0:
+            # sub-step A uses the pure old coarse state; skip the no-op lerp
+            # (temporal_weight is a static Python float)
+            old = ep_old[face]
+            f_int, rho_int, u_int = old["f"], old["rho"], old["vel"]
+        elif blend:
             old = ep_old[face]
             f_int = old["f"] * (1.0 - tw) + new["f"] * tw
             rho_int = old["rho"] * (1.0 - tw) + new["rho"] * tw
@@ -415,7 +452,9 @@ def build_bouzidi_dense_plan(patch: PatchLevel, q_min: float) -> Optional[Dict]:
     hi = np.array([bz.cell_gx.max(), bz.cell_gy.max(), bz.cell_gz.max()]) + 2
     lo = np.maximum(lo, 0)
     hi = np.minimum(hi, [XS, YS, ZS])
-    # align the z extent to the lane tile for cheap slicing
+    # z (lane) extent aligned to the 128-lane tile, y to the sublane tile:
+    # unaligned lane slicing forces relayouts of the sliced f data that cost
+    # far more than the extra aligned volume (measured 3x on v5e)
     lo[2] = lo[2] // 128 * 128
     hi[2] = min(-(-hi[2] // 128) * 128, ZS)
     lo[1] = lo[1] // 8 * 8
@@ -427,15 +466,12 @@ def build_bouzidi_dense_plan(patch: PatchLevel, q_min: float) -> Optional[Dict]:
     cy = bz.cell_gy - lo[1]
     cz = bz.cell_gz - lo[2]
 
-    # Coefficients with the x_ff-outside fallback folded in:
-    #   val = A*f[k](cell) + BLO*f[k](cell + c_opp) + BHI*f[opp_k](cell)
-    # with BLO zeroed (and its weight moved into A) where x_ff leaves the
-    # interior, matching the reference's f_ff = f_k fallback.  Cells with no
-    # link have A = BLO = BHI = 0, and "active" is simply A > 0 (A is always
-    # positive on a link: min(2q, 1/(2q)) > 0 for q in (0, 1]).
+    # Compact two-array encoding with the x_ff-outside fallback folded in:
+    #   val = A*f[k](cell) + |B| * (f[opp_k](cell) if B < 0 else f[k](cell+c_opp))
+    # B's sign encodes the q >= 0.5 branch; cells with no link have A = B = 0
+    # and "active" is A > 0 (A = min(2q, 1/(2q)) > 0 on a link).
     A = np.zeros((27,) + bdim, np.float32)
-    BLO = np.zeros((27,) + bdim, np.float32)
-    BHI = np.zeros((27,) + bdim, np.float32)
+    B = np.zeros((27,) + bdim, np.float32)
     for k in range(27):
         if k == 13:
             continue
@@ -456,33 +492,46 @@ def build_bouzidi_dense_plan(patch: PatchLevel, q_min: float) -> Optional[Dict]:
         )
         a = np.where(lo_case, 2.0 * qs, 1.0 / (2.0 * qs))
         blo = np.where(lo_case, 1.0 - 2.0 * qs, 0.0)
+        bhi = np.where(lo_case, 0.0, (2.0 * qs - 1.0) / (2.0 * qs))
         A[k, x, y, z] = a + np.where(inside, 0.0, blo)
-        BLO[k, x, y, z] = np.where(inside, blo, 0.0)
-        BHI[k, x, y, z] = np.where(lo_case, 0.0, (2.0 * qs - 1.0) / (2.0 * qs))
+        B[k, x, y, z] = np.where(lo_case, np.where(inside, blo, 0.0), -bhi)
     return {
         "lo": tuple(int(v) for v in lo),
         "dim": bdim,
+        # f32 canonically: the XLA path on raw-f storage needs a + |b| = 1
+        # exactly to hold the rest state (g-storage is shift-invariant, so the
+        # Pallas kernel may downcast them to bf16 when f is stored bf16)
         "A": jnp.asarray(A),
-        "BLO": jnp.asarray(BLO),
-        "BHI": jnp.asarray(BHI),
+        "B": jnp.asarray(B),
     }
 
 
 def apply_bouzidi_dense(f_out: jnp.ndarray, plan: Dict) -> jnp.ndarray:
-    """Apply the dense sub-box Bouzidi correction to (27, XS, YS, ZS)."""
+    """Apply the dense sub-box Bouzidi correction to (27, XS, YS, ZS).
+
+    Works unchanged on bf16 g-storage (ops.storage): the link coefficients
+    sum to 1 and w[opp_k] = w[k], so the correction is form-invariant under
+    the f - w shift; compute is f32, store is the array's dtype."""
     lx, ly, lz = plan["lo"]
     bx, by, bz_ = plan["dim"]
     box = jax.lax.dynamic_slice(f_out, (0, lx, ly, lz), (27, bx, by, bz_))
-    # halo'd box for the shifted f_ff reads (shift by c_opp = -c)
-    new_box = box
-    for k in range(27):
-        if k == 13:
+    # functional row build (a chained .at[].set would copy the whole box per
+    # direction); row j receives the correction of its opposite direction k
+    rows = []
+    for j in range(27):
+        if j == 13:
+            rows.append(box[13])
             continue
-        opp_k = int(lat.OPP[k])
+        k = int(lat.OPP[j])  # the link direction writing into slot j
         cxk, cyk, czk = int(lat.C_X[k]), int(lat.C_Y[k]), int(lat.C_Z[k])
         # f[k] at cell + c_opp = roll by +c (roll(a, s)[i] = a[i - s])
         ff = jnp.roll(box[k], (cxk, cyk, czk), axis=(0, 1, 2))
-        a = plan["A"][k]
-        val = a * box[k] + plan["BLO"][k] * ff + plan["BHI"][k] * box[opp_k]
-        new_box = new_box.at[opp_k].set(jnp.where(a > 0, val, new_box[opp_k]))
+        a = plan["A"][k].astype(jnp.float32)
+        b = plan["B"][k].astype(jnp.float32)
+        other = jnp.where(b < 0, box[j].astype(jnp.float32),
+                          ff.astype(jnp.float32))
+        val = (a * box[k].astype(jnp.float32) + jnp.abs(b) * other
+               ).astype(box.dtype)
+        rows.append(jnp.where(a > 0, val, box[j]))
+    new_box = jnp.stack(rows)
     return jax.lax.dynamic_update_slice(f_out, new_box, (0, lx, ly, lz))

@@ -49,6 +49,89 @@ from . import collide_math as cm
 _SLOTS = 4
 
 
+def make_bouzidi_pallas(plan: Dict, shape, f_dtype, interpret: bool = False):
+    """In-place Bouzidi correction as one tiny Pallas kernel.
+
+    The XLA formulation (ops.dense_step.apply_bouzidi_dense) dispatches ~30
+    separate fused ops (slice, 26 rolls, stack, update) on the coefficient
+    box; on v5e the per-dispatch overhead dominates (~265 us for a 6 MB box).
+    Here the box is DMA'd into VMEM once, the 27 corrected rows are computed
+    in-register, and the box is DMA'd back into the SAME buffer
+    (input_output_aliases) — one dispatch, no full-f copy.
+
+    Same math as apply_bouzidi_dense (reference: src/bouzidi_kernel.jl:38-88),
+    exactly form-invariant on bf16 g-storage (coefficients sum to 1).
+    """
+    lx, ly, lz = plan["lo"]
+    bx, by, bz = plan["dim"]
+    A_np = np.asarray(plan["A"], np.float32)
+    B_np = np.asarray(plan["B"], np.float32)
+
+    def kernel(a_ref, b_ref, f_ref, out_ref, box_ref, new_ref, sem):
+        cp_in = pltpu.make_async_copy(
+            f_ref.at[:, pl.ds(lx, bx), pl.ds(ly, by), pl.ds(lz, bz)],
+            box_ref, sem,
+        )
+        cp_in.start()
+        cp_in.wait()
+        for j in range(27):
+            if j == 13:
+                new_ref[13] = box_ref[13]
+                continue
+            k = int(lat.OPP[j])
+            cxk, cyk, czk = int(lat.C_X[k]), int(lat.C_Y[k]), int(lat.C_Z[k])
+            ff = box_ref[k]
+            if cxk:
+                ff = jnp.roll(ff, cxk, axis=0)
+            ff = _shift2d(ff, cyk, czk)
+            a = a_ref[k].astype(jnp.float32)
+            b = b_ref[k].astype(jnp.float32)
+            other = jnp.where(b < 0, box_ref[j].astype(jnp.float32),
+                              ff.astype(jnp.float32))
+            val = (a * box_ref[k].astype(jnp.float32) + jnp.abs(b) * other
+                   ).astype(f_dtype)
+            new_ref[j] = jnp.where(a > 0, val, box_ref[j])
+        cp_out = pltpu.make_async_copy(
+            new_ref,
+            out_ref.at[:, pl.ds(lx, bx), pl.ds(ly, by), pl.ds(lz, bz)],
+            sem,
+        )
+        cp_out.start()
+        cp_out.wait()
+
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(shape, f_dtype),
+        input_output_aliases={2: 0},
+        scratch_shapes=[
+            pltpu.VMEM((27, bx, by, bz), f_dtype),
+            pltpu.VMEM((27, bx, by, bz), f_dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        interpret=interpret,
+    )
+    # bf16 coefficients only on bf16 g-storage, where the correction is
+    # shift-invariant and the rest state is exact zeros; raw f32 storage
+    # needs f32 coefficients so a + |b| = 1 holds exactly at rest
+    coef_t = jnp.bfloat16 if f_dtype == jnp.bfloat16 else jnp.float32
+    a_dev = jnp.asarray(A_np, coef_t)
+    b_dev = jnp.asarray(B_np, coef_t)
+
+    def apply(f):
+        return call(a_dev, b_dev, f)
+
+    return apply
+
+
 def _shift2d(a, sy: int, sz: int):
     """out[..., y, z] = a[..., y - sy, z - sz] (wrapped; wrapped rows/cols are
     overwritten by the boundary masks)."""
@@ -66,6 +149,10 @@ def prepare_pallas_statics(patch: PatchLevel) -> Dict:
         "obstacle_u8": jnp.asarray(patch.obstacle.astype(np.uint8)),
         "sponge3d": jnp.asarray(patch.sponge),
         "wall3d": jnp.asarray(patch.wall_dist),
+        # moment-space collision matrices (Pallas kernels cannot capture
+        # constant arrays, so they ride along as tiny VMEM inputs)
+        "mom_mat": jnp.asarray(lat.MOM_MAT),
+        "back_mat": jnp.asarray(lat.BACK_MAT),
     }
 
 
@@ -103,10 +190,29 @@ def make_pallas_step(
     sponge_blend: bool,
     interpret: bool = False,
     planes_per_step: int = 0,
+    store_bf16: bool = False,
+    use_mxu: bool = False,  # moment-space collision (two MXU matmuls) instead
+    # of the per-direction unrolled loops; same physics (collide_math) but
+    # measured SLOWER on v5e: the (27, M) reshapes around the matmuls force
+    # full VMEM relayouts that outweigh the vector ops saved (641 vs 482
+    # us/step on the Re1M finest level) — kept as a tested option
+    _stage: str = "full",  # perf dissection hook (tools/perf_probe3):
+    #   "full" = production, "nocollide" = stream+DMA only, "copy" = DMA only
 ):
     XS, YS, ZS = patch.padded
     X, Y, Z = patch.interior
     fb = patch.face_bc
+    # bf16 storage holds g = f - w (ops.storage); decode to f32 right after
+    # the streaming shifts, encode at the output store — all math is f32
+    f_dtype = jnp.bfloat16 if store_bf16 else jnp.float32
+    f_bytes = 2 if store_bf16 else 4
+
+    def dec(x, k):
+        return x.astype(jnp.float32) + float(lat.W[k]) if store_bf16 else x
+
+    def enc(x, k):
+        return (x - float(lat.W[k])).astype(jnp.bfloat16) if store_bf16 else x
+
     # chunked grid: PX x-planes per step amortize per-op vector overheads;
     # bounded by the VMEM window budget
     if planes_per_step:
@@ -114,7 +220,9 @@ def make_pallas_step(
     else:
         PX = 1
         for cand in (8, 4, 2):
-            if XS % cand == 0 and 4 * (27 + 3) * cand * YS * ZS * 4 < 56 * 2**20:
+            if XS % cand == 0 and (
+                4 * (27 * f_bytes + 3 * 4) * cand * YS * ZS < 56 * 2**20
+            ):
                 PX = cand
                 break
     assert XS % PX == 0, (XS, PX)
@@ -126,12 +234,16 @@ def make_pallas_step(
         u_ref, seed_ref,  # scalar prefetch (SMEM)
         f_hbm, vel_hbm,  # ANY (manual DMA)
         obstacle_ref, sponge_ref, wall_ref,  # (PX, YS, ZS) VMEM blocks
-        *rest,  # iface refs, outputs, scratch
+        *rest,  # [mom/back mats], iface refs, outputs, scratch
     ):
+        off = 0
+        if use_mxu:
+            mom_ref, back_ref = rest[0], rest[1]
+            off = 2
         n_if = len(need_iface)
-        iface_refs = dict(zip(need_iface, rest[:n_if]))
-        fout_ref, rho_ref, velout_ref = rest[n_if : n_if + 3]
-        fwin, vwin, sems = rest[n_if + 3 :]
+        iface_refs = dict(zip(need_iface, rest[off : off + n_if]))
+        fout_ref, rho_ref, velout_ref = rest[off + n_if : off + n_if + 3]
+        fwin, vwin, sems = rest[off + n_if + 3 :]
 
         ci = pl.program_id(0)
         ix3 = jax.lax.broadcasted_iota(jnp.int32, (PX, YS, ZS), 0) + ci * PX
@@ -216,10 +328,20 @@ def make_pallas_step(
                     1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * u_inlet * u_inlet
                 )
             if bc == BC_MIRROR_Y:
-                return f_cur_ch[int(lat.MIRROR_Y[k])]
+                # w[mirror_k] == w[k]: mirroring flips one component's sign
+                return dec(f_cur_ch[int(lat.MIRROR_Y[k])], k)
             if bc == BC_MIRROR_Z:
-                return f_cur_ch[int(lat.MIRROR_Z[k])]
+                return dec(f_cur_ch[int(lat.MIRROR_Z[k])], k)
             raise AssertionError(bc)
+
+        if _stage == "copy":
+            for k in range(27):
+                fout_ref[k] = f_cur_ch[k]
+            rho_ref[:] = sponge_ref[:] + wall_ref[:] + jnp.where(
+                obstacle_ref[:] != 0, 1.0, 0.0
+            )
+            velout_ref[:] = v_cur_ch[:]
+            return
 
         streamed = []
         for k in range(27):
@@ -241,7 +363,7 @@ def make_pallas_step(
                     )
                 else:
                     src = f_next_ch[k]
-            val = _shift2d(src, cy, cz)
+            val = dec(_shift2d(src, cy, cz), k)
             if cz > 0:
                 val = jnp.where(iz3 == 0, face_value(k, 4), val)
             elif cz < 0:
@@ -295,21 +417,35 @@ def make_pallas_step(
             vel_nbr(0, 0, 1), vel_nbr(0, 0, -1),
         )
 
-        f_out, rho_out, vel_out = cm.collide_unrolled(
-            streamed,
-            nbrs,
-            obstacle_ref[:] != 0,
-            sponge_ref[:],
-            wall_ref[:],
-            u_inlet,
+        if _stage == "nocollide":
+            for k in range(27):
+                fout_ref[k] = enc(streamed[k], k)
+            rho_ref[:] = sponge_ref[:] + wall_ref[:] + jnp.where(
+                obstacle_ref[:] != 0, 1.0, 0.0
+            )
+            velout_ref[:] = (nbrs[0] + nbrs[1]) * 0.5
+            return
+
+        kw = dict(
             tau=patch.tau,
             c_wale=c_wale,
             nu_sgs_background=nu_sgs_background,
             wall_model=wall_model,
             sponge_blend=sponge_blend,
         )
+        if use_mxu:
+            f_out, rho_out, vel_out = cm.collide_moments(
+                jnp.stack(streamed), nbrs, obstacle_ref[:] != 0,
+                sponge_ref[:], wall_ref[:], u_inlet,
+                mom_mat=mom_ref[:], back_mat=back_ref[:], **kw,
+            )
+        else:
+            f_out, rho_out, vel_out = cm.collide_unrolled_v2(
+                streamed, nbrs, obstacle_ref[:] != 0,
+                sponge_ref[:], wall_ref[:], u_inlet, **kw,
+            )
         for k in range(27):
-            fout_ref[k] = f_out[k]
+            fout_ref[k] = enc(f_out[k], k)
         rho_ref[:] = rho_out
         velout_ref[:] = vel_out
 
@@ -331,6 +467,9 @@ def make_pallas_step(
                 pl.BlockSpec((PX, YS, ZS), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec((PX, YS, ZS), lambda i, *_: (i, 0, 0)),
             ]
+            + (
+                [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 if use_mxu else []
+            )
             + iface_specs,
             out_specs=[
                 pl.BlockSpec((27, PX, YS, ZS), lambda i, *_: (0, i, 0, 0)),
@@ -338,7 +477,7 @@ def make_pallas_step(
                 pl.BlockSpec((3, PX, YS, ZS), lambda i, *_: (0, i, 0, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((_SLOTS, 27, PX, YS, ZS), jnp.float32),
+                pltpu.VMEM((_SLOTS, 27, PX, YS, ZS), f_dtype),
                 pltpu.VMEM((_SLOTS, 3, PX, YS, ZS), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, _SLOTS)),
             ],
@@ -347,7 +486,7 @@ def make_pallas_step(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((27, XS, YS, ZS), jnp.float32),
+                jax.ShapeDtypeStruct((27, XS, YS, ZS), f_dtype),
                 jax.ShapeDtypeStruct((XS, YS, ZS), jnp.float32),
                 jax.ShapeDtypeStruct((3, XS, YS, ZS), jnp.float32),
             ],
@@ -363,6 +502,10 @@ def make_pallas_step(
             statics3d["obstacle_u8"],
             statics3d["sponge3d"],
             statics3d["wall3d"],
+            *(
+                (statics3d["mom_mat"], statics3d["back_mat"])
+                if use_mxu else ()
+            ),
             *iface_vals,
         )
         return fo, rho, vo

@@ -80,12 +80,19 @@ def solve_case(cfg: CaseConfig) -> SolveResult:
         params = compute_domain_params(cfg, mesh.min_bounds, mesh.max_bounds)
         levels = build_patches(cfg, mesh, params)
         statics = build_patch_statics(cfg, levels)
-        states = [init_patch_state(p) for p in levels]
+        states = [init_patch_state(p, cfg.precision) for p in levels]
         total_cells = sum(p.n_cells for p in levels)
         from .solver_dense import hbm_report_patches
 
         log.info(hbm_report_patches(levels, statics))
     else:
+        from .ops.storage import STORE_F32, normalize_precision
+
+        if normalize_precision(cfg.precision) != STORE_F32:
+            log.warning(
+                "[Config] precision=%s is only supported on layout=patch; "
+                "the blocks layout runs float32", cfg.precision,
+            )
         mesh, params, levels = setup_case(cfg)
         states, statics = build_all(cfg, params, levels)
         log.info(hbm_report(levels, statics))

@@ -23,18 +23,28 @@ from .ops.dense_step import (
     build_bouzidi_dense_plan,
     dense_stream_collide,
     interface_endpoints,
+    interface_endpoints_pair,
     interface_from_endpoints,
 )
-from .ops.pallas_step import make_pallas_step, prepare_pallas_statics
+from .ops import storage
+from .ops.pallas_step import (
+    make_bouzidi_pallas,
+    make_pallas_step,
+    prepare_pallas_statics,
+)
 from .scaling import DomainParams
 from .solver import ramp_velocity
 
 
-def init_patch_state(patch: PatchLevel) -> Dict:
+def init_patch_state(patch: PatchLevel, precision: str = "float32") -> Dict:
     XS, YS, ZS = patch.padded
-    f = jnp.broadcast_to(
-        jnp.asarray(lat.W)[:, None, None, None], (27, XS, YS, ZS)
-    ).astype(jnp.float32)
+    if storage.normalize_precision(precision) == storage.STORE_BF16:
+        # g = f - w is exactly zero at the rest equilibrium
+        f = jnp.zeros((27, XS, YS, ZS), jnp.bfloat16)
+    else:
+        f = jnp.broadcast_to(
+            jnp.asarray(lat.W)[:, None, None, None], (27, XS, YS, ZS)
+        ).astype(jnp.float32)
     return {
         "f": f,
         "rho": jnp.ones((XS, YS, ZS), jnp.float32),
@@ -63,22 +73,28 @@ def build_patch_statics(cfg: CaseConfig, patches: List[PatchLevel]) -> List[Dict
 _PALLAS_VMEM_BUDGET = 60 * 2**20
 
 
-def _pallas_fits(p: PatchLevel) -> bool:
+def _pallas_fits(p: PatchLevel, store_bf16: bool = False) -> bool:
     m = p.padded[1] * p.padded[2]
-    return 4 * (27 + 3) * m * 4 < _PALLAS_VMEM_BUDGET
+    f_bytes = 2 if store_bf16 else 4
+    return 4 * (27 * f_bytes + 3 * 4) * m < _PALLAS_VMEM_BUDGET
 
 
 def make_coarse_step_dense(
     cfg: CaseConfig, params: DomainParams, patches: List[PatchLevel],
     statics: List[Dict], use_pallas: bool = None,
+    _iface_mode: str = "real",  # perf dissection hook (tools/perf_probe3):
+    # "frozen" closes rest-state ghost planes over the step as constants,
+    # removing the whole interface-construction path from the timeline
 ):
     n_levels = len(patches)
     use_temporal = cfg.temporal_interpolation
+    precision = storage.normalize_precision(cfg.precision)
+    store_bf16 = precision == storage.STORE_BF16
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     psteps = []
     for p in patches:
-        if use_pallas and _pallas_fits(p):
+        if use_pallas and _pallas_fits(p, store_bf16):
             psteps.append(
                 make_pallas_step(
                     p,
@@ -87,10 +103,45 @@ def make_coarse_step_dense(
                     inlet_turbulence=cfg.inlet_turbulence_intensity,
                     wall_model=cfg.wall_model_enabled,
                     sponge_blend=cfg.sponge_blend_distributions,
+                    store_bf16=store_bf16,
                 )
             )
         else:
             psteps.append(None)
+            if use_pallas:
+                print(
+                    f"  [engine] level {p.level_id}: plane "
+                    f"{p.padded[1]}x{p.padded[2]} exceeds the Pallas VMEM "
+                    "window budget; using the XLA dense path for this level"
+                )
+    # Bouzidi application per level: single-dispatch in-place Pallas kernel
+    # on Pallas levels, XLA sub-box math otherwise
+    bz_apply = []
+    for li, p in enumerate(patches):
+        plan = statics[li]["bouzidi"]
+        if plan is None:
+            bz_apply.append(None)
+        elif psteps[li] is not None:
+            f_dtype = jnp.bfloat16 if store_bf16 else jnp.float32
+            bz_apply.append(
+                make_bouzidi_pallas(plan, (27,) + p.padded, f_dtype)
+            )
+        else:
+            bz_apply.append(
+                lambda f, _plan=plan: apply_bouzidi_dense(f, _plan)
+            )
+
+    frozen_iface = None
+    if _iface_mode == "frozen":
+        sts0 = [init_patch_state(p, cfg.precision) for p in patches]
+        frozen_iface = [None]
+        for li in range(1, n_levels):
+            ep0 = interface_endpoints(patches[li], patches[li - 1], sts0[li - 1])
+            frozen_iface.append(
+                interface_from_endpoints(
+                    ep0, None, patches[li], patches[li - 1], 0.0, False
+                )
+            )
 
     def coarse_step(states: List[Dict], t):
         states = list(states)
@@ -101,10 +152,13 @@ def make_coarse_step_dense(
             static = statics[lvl]
             iface = None
             if lvl > 0:
-                iface = interface_from_endpoints(
-                    ep_new, ep_old, patch, patches[lvl - 1],
-                    temporal_weight, use_temporal,
-                )
+                if frozen_iface is not None:
+                    iface = frozen_iface[lvl]
+                else:
+                    iface = interface_from_endpoints(
+                        ep_new, ep_old, patch, patches[lvl - 1],
+                        temporal_weight, use_temporal,
+                    )
             st = states[lvl]
             seed = (t_sub % 1000000).astype(jnp.int32)
             if psteps[lvl] is not None:
@@ -113,7 +167,7 @@ def make_coarse_step_dense(
                 )
             else:
                 f_new, rho_new, vel_new = dense_stream_collide(
-                    st["f"], st["vel"], u_curr, seed,
+                    storage.decode_f(st["f"]), st["vel"], u_curr, seed,
                     static, patch,
                     c_wale=cfg.c_wale,
                     nu_sgs_background=cfg.nu_sgs_background,
@@ -122,18 +176,24 @@ def make_coarse_step_dense(
                     sponge_blend=cfg.sponge_blend_distributions,
                     iface=iface,
                 )
-            if static["bouzidi"] is not None:
-                f_new = apply_bouzidi_dense(f_new, static["bouzidi"])
+                f_new = storage.encode_f(f_new, precision)
+            if bz_apply[lvl] is not None:
+                f_new = bz_apply[lvl](f_new)
             states[lvl] = {"f": f_new, "rho": rho_new, "vel": vel_new}
             if lvl + 1 < n_levels:
                 # endpoint ghost planes from the pre/post-step parent state,
                 # computed once and shared by both child sub-steps (the
                 # temporal blend is a cheap plane lerp per sub-step)
                 child = patches[lvl + 1]
-                ep_old = (
-                    interface_endpoints(child, patch, st) if use_temporal else None
-                )
-                ep_new = interface_endpoints(child, patch, states[lvl])
+                if frozen_iface is not None:
+                    ep_old = ep_new = None
+                elif use_temporal:
+                    ep_old, ep_new = interface_endpoints_pair(
+                        child, patch, st, states[lvl]
+                    )
+                else:
+                    ep_old = None
+                    ep_new = interface_endpoints(child, patch, states[lvl])
                 visit(lvl + 1, 2 * t_sub, 0.0, ep_new, ep_old)
                 visit(lvl + 1, 2 * t_sub + 1, 0.5, ep_new, ep_old)
 

@@ -131,7 +131,16 @@ def test_bouzidi_dense_matches_sparse(rng):
     f = jnp.asarray(rng.random((27,) + p.padded).astype(np.float32))
     out_sparse = apply_bouzidi(f, sp)
     out_dense = apply_bouzidi_dense(f, dn)
-    assert np.array_equal(np.asarray(out_sparse), np.asarray(out_dense))
+    # dense plan stores f16 coefficients (matching the reference's f16 q_map
+    # precision); the sparse plan keeps f32 — tolerance is the f16 ulp
+    assert np.allclose(
+        np.asarray(out_sparse), np.asarray(out_dense), atol=2e-3, rtol=2e-3
+    )
+    # untouched slots are bit-identical
+    changed = np.asarray(out_sparse) != np.asarray(f)
+    assert np.array_equal(
+        np.asarray(out_dense)[~changed], np.asarray(f)[~changed]
+    )
 
 
 def test_sharded_dense_step_matches_single():

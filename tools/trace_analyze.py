@@ -53,6 +53,7 @@ def main():
     ap.add_argument("--res", type=int, default=25)
     ap.add_argument("--n", type=int, default=50)
     ap.add_argument("--dir", default="")
+    ap.add_argument("--precision", default="float32")
     args = ap.parse_args()
 
     if args.dir:
@@ -82,12 +83,12 @@ def main():
         steps=400, ramp_steps=200, output_freq=100000, diag_freq=100000,
         wake_enabled=True,
     )
-    cfg = load_case_config(tmp)
+    cfg = load_case_config(tmp).with_overrides(precision=args.precision)
     mesh = load_mesh(cfg.stl_path, scale=cfg.stl_scale)
     params = compute_domain_params(cfg, mesh.min_bounds, mesh.max_bounds)
     levels = build_patches(cfg, mesh, params)
     statics = build_patch_statics(cfg, levels)
-    states = [init_patch_state(p) for p in levels]
+    states = [init_patch_state(p, args.precision) for p in levels]
     run = make_batch_runner_dense(cfg, params, levels, statics)
 
     states = run(states, np.int32(1), args.n)  # compile + warm
