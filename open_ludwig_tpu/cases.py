@@ -52,6 +52,7 @@ def _base_config(stl_file: str, **over) -> Dict:
                 "c_wale": over.pop("c_wale", 0.5),
                 "tau_min": 0.500001,
                 "inlet_turbulence_intensity": over.pop("inlet_turbulence", 0.0),
+                "precision": over.pop("precision", "float32"),
             },
             "high_re": {
                 "wall_model": {"enabled": over.pop("wall_model", True),
@@ -96,9 +97,12 @@ def make_case_sphere(case_dir: str, re_regime: str = "1M", **over) -> str:
     """Sphere wind tunnel at one of the reference's validated regimes:
     Re 266K / 1M / 10M (reference: RESULTS_SPHERE_RE*.txt setups)."""
     os.makedirs(case_dir, exist_ok=True)
+    # wall_model on in ALL regimes: the reference's three validation runs
+    # (reference: RESULTS_SPHERE_RE*.txt) all computed wall distances and
+    # ran with wall_model.enabled=true (reference: CASES/ball1m/config.yaml)
     presets = {
-        "266K": dict(velocity=4.0, surface_resolution=25, wall_model=False),
-        "1M": dict(velocity=14.8, surface_resolution=25, wall_model=False),
+        "266K": dict(velocity=4.0, surface_resolution=25, wall_model=True),
+        "1M": dict(velocity=14.8, surface_resolution=25, wall_model=True),
         "10M": dict(velocity=148.0, surface_resolution=55, wall_model=True),
     }
     opts = dict(presets[re_regime], reference_area=np.pi * 0.25)

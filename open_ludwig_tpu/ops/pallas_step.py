@@ -67,17 +67,30 @@ def make_bouzidi_pallas(plan: Dict, shape, f_dtype, interpret: bool = False):
     A_np = np.asarray(plan["A"], np.float32)
     B_np = np.asarray(plan["B"], np.float32)
 
-    def kernel(a_ref, b_ref, f_ref, out_ref, box_ref, new_ref, sem):
+    def kernel(a_ref, b_ref, f_ref, out_ref, box_ref, row_ref, sem, rsem):
         cp_in = pltpu.make_async_copy(
             f_ref.at[:, pl.ds(lx, bx), pl.ds(ly, by), pl.ds(lz, bz)],
             box_ref, sem,
         )
         cp_in.start()
         cp_in.wait()
+        # corrected rows are functions of the ORIGINAL box only, so each row
+        # DMAs out as soon as it is computed through a 2-slot rotating buffer
+        # (a full second box of scratch would double the kernel's VMEM
+        # footprint, which matters when XLA overlaps several kernels)
+        slot = 0
+
+        def row_dma(s, j):
+            return pltpu.make_async_copy(
+                row_ref.at[s],
+                out_ref.at[j, pl.ds(lx, bx), pl.ds(ly, by), pl.ds(lz, bz)],
+                rsem.at[s],
+            )
+
+        pending = {}
         for j in range(27):
             if j == 13:
-                new_ref[13] = box_ref[13]
-                continue
+                continue  # rest distribution: aliased output is already f
             k = int(lat.OPP[j])
             cxk, cyk, czk = int(lat.C_X[k]), int(lat.C_Y[k]), int(lat.C_Z[k])
             ff = box_ref[k]
@@ -90,15 +103,16 @@ def make_bouzidi_pallas(plan: Dict, shape, f_dtype, interpret: bool = False):
                               ff.astype(jnp.float32))
             val = (a * box_ref[k].astype(jnp.float32) + jnp.abs(b) * other
                    ).astype(f_dtype)
-            new_ref[j] = jnp.where(a > 0, val, box_ref[j])
-        cp_out = pltpu.make_async_copy(
-            new_ref,
-            out_ref.at[:, pl.ds(lx, bx), pl.ds(ly, by), pl.ds(lz, bz)],
-            sem,
-        )
-        cp_out.start()
-        cp_out.wait()
+            if slot in pending:
+                row_dma(slot, pending.pop(slot)).wait()
+            row_ref[slot] = jnp.where(a > 0, val, box_ref[j])
+            row_dma(slot, j).start()
+            pending[slot] = j
+            slot = 1 - slot
+        for s, j in pending.items():
+            row_dma(s, j).wait()
 
+    box_bytes = 27 * bx * by * bz * (2 if f_dtype == jnp.bfloat16 else 4)
     call = pl.pallas_call(
         kernel,
         in_specs=[
@@ -111,11 +125,17 @@ def make_bouzidi_pallas(plan: Dict, shape, f_dtype, interpret: bool = False):
         input_output_aliases={2: 0},
         scratch_shapes=[
             pltpu.VMEM((27, bx, by, bz), f_dtype),
-            pltpu.VMEM((27, bx, by, bz), f_dtype),
+            pltpu.VMEM((2, bx, by, bz), f_dtype),
             pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2**20,
+            # declare what we actually use — XLA reserves the declared limit
+            # while scheduling, and over-declaring evicts other kernels'
+            # VMEM (observed: program-level VMEM OOM on the Re10M case)
+            vmem_limit_bytes=min(
+                100 * 2**20, int(box_bytes * 1.2) + 8 * 2**20
+            ),
         ),
         interpret=interpret,
     )
@@ -126,8 +146,13 @@ def make_bouzidi_pallas(plan: Dict, shape, f_dtype, interpret: bool = False):
     a_dev = jnp.asarray(A_np, coef_t)
     b_dev = jnp.asarray(B_np, coef_t)
 
-    def apply(f):
-        return call(a_dev, b_dev, f)
+    def apply(f, A=None, B=None):
+        """A/B override lets the caller feed the coefficients as traced jit
+        arguments instead of closure constants (big closure arrays inline
+        into the HLO as literals)."""
+        if A is None:
+            return call(a_dev, b_dev, f)
+        return call(A.astype(coef_t), B.astype(coef_t), f)
 
     return apply
 
@@ -159,9 +184,13 @@ def prepare_pallas_statics(patch: PatchLevel) -> Dict:
 def shift_iface_planes(iface: Dict[int, jnp.ndarray], patch: PatchLevel) -> Dict:
     """Pre-apply the per-direction (1-c) shifts to interface ghost planes so
     the kernel only does aligned static reads:
-      face 0/1 (x): (27, YS, ZS) value for dest (., y, z)
-      face 2/3 (y): (27, XS, ZS) value rows indexed by the x-plane
-      face 4/5 (z): (27, XS, YS)
+      face 0/1 (x): (27, YS, ZS) value for dest (., y, z) — whole plane,
+        consumed only by the first/last chunk;
+      face 2/3 (y): (XS, 27, ZS), face 4/5 (z): (XS, 27, YS) — x-rows LEAD
+        so the kernel's chunk BlockSpec delivers each chunk's PX-row window
+        and every in-kernel read is fully static (a dynamically-offset
+        sublane load only lowers in Mosaic when the lane dim is one whole
+        128 tile, which z-face planes with YS in lanes generally are not).
     """
     XS, YS, ZS = patch.padded
     out = {}
@@ -176,7 +205,7 @@ def shift_iface_planes(iface: Dict[int, jnp.ndarray], patch: PatchLevel) -> Dict
                 rows.append(pl_arr[k, 1 - cx : 1 - cx + XS, 1 - cz : 1 - cz + ZS])
             else:
                 rows.append(pl_arr[k, 1 - cx : 1 - cx + XS, 1 - cy : 1 - cy + YS])
-        out[face] = jnp.stack(rows)
+        out[face] = jnp.stack(rows, axis=1 if ax else 0)
     return out
 
 
@@ -316,7 +345,9 @@ def make_pallas_step(
                 pr = iface_refs[face]  # pre-shifted by shift_iface_planes
                 if face // 2 == 0:
                     return pr[k][None, :, :]  # (1, YS, ZS), bcast over PX
-                rows = pr[k, pl.ds(ci * PX, PX), :]  # (PX, B)
+                # y/z faces arrive as this chunk's (PX, 27, B) BlockSpec
+                # window — static reads only
+                rows = pr[:, k, :]  # (PX, B)
                 if face // 2 == 1:
                     return rows[:, None, :]  # bcast over Y
                 return rows[:, :, None]  # bcast over Z
@@ -454,8 +485,17 @@ def make_pallas_step(
         iface_specs = []
         iface_vals = []
         for fc in need_iface:
-            iface_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-            iface_vals.append(iface[fc])
+            v = iface[fc]
+            if fc // 2 == 0:
+                iface_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            else:
+                # x-rows lead (XS, 27, B): deliver this chunk's PX-row window
+                iface_specs.append(
+                    pl.BlockSpec(
+                        (PX, 27, v.shape[-1]), lambda i, *_: (i, 0, 0)
+                    )
+                )
+            iface_vals.append(v)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -482,6 +522,13 @@ def make_pallas_step(
                 pltpu.SemaphoreType.DMA((2, _SLOTS)),
             ],
         )
+        plane = PX * YS * ZS
+        est = (
+            _SLOTS * (27 * f_bytes + 3 * 4) * plane  # rotating DMA windows
+            + 2 * (1 + 4 + 4) * plane  # pipelined static in-blocks
+            + 2 * (27 * f_bytes + 4 + 3 * 4) * plane  # pipelined out-blocks
+            + sum(int(np.prod(v.shape)) * 4 for v in iface_vals)
+        )
         fo, rho, vo = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -491,7 +538,12 @@ def make_pallas_step(
                 jax.ShapeDtypeStruct((3, XS, YS, ZS), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 2**20,
+                # declare close to actual use: XLA reserves the declared
+                # limit during scheduling, and over-declaring starves other
+                # kernels of VMEM (observed program-level OOM on Re10M)
+                vmem_limit_bytes=min(
+                    100 * 2**20, int(est * 1.25) + 8 * 2**20
+                ),
             ),
             interpret=interpret,
         )(

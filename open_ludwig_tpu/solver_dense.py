@@ -115,20 +115,33 @@ def make_coarse_step_dense(
                     "window budget; using the XLA dense path for this level"
                 )
     # Bouzidi application per level: single-dispatch in-place Pallas kernel
-    # on Pallas levels, XLA sub-box math otherwise
+    # on Pallas levels (the whole coefficient sub-box lives in VMEM), XLA
+    # sub-box math otherwise or when the box exceeds the VMEM budget (XLA
+    # reserves every kernel's declared VMEM while scheduling; a >24 MiB box
+    # next to the step kernels OOMs the 128 MiB space — observed on Re10M)
     bz_apply = []
     for li, p in enumerate(patches):
         plan = statics[li]["bouzidi"]
         if plan is None:
             bz_apply.append(None)
-        elif psteps[li] is not None:
-            f_dtype = jnp.bfloat16 if store_bf16 else jnp.float32
+            continue
+        f_dtype = jnp.bfloat16 if store_bf16 else jnp.float32
+        box_bytes = 27 * int(np.prod(plan["dim"])) * (2 if store_bf16 else 4)
+        if psteps[li] is not None and box_bytes < 24 * 2**20:
             bz_apply.append(
                 make_bouzidi_pallas(plan, (27,) + p.padded, f_dtype)
             )
         else:
+            if psteps[li] is not None:
+                print(
+                    f"  [engine] level {p.level_id}: Bouzidi box "
+                    f"{tuple(plan['dim'])} exceeds the VMEM budget; using "
+                    "the XLA sub-box path for the correction"
+                )
             bz_apply.append(
-                lambda f, _plan=plan: apply_bouzidi_dense(f, _plan)
+                lambda f, A=None, B=None, _plan=plan: apply_bouzidi_dense(
+                    f, _plan if A is None else {**_plan, "A": A, "B": B}
+                )
             )
 
     frozen_iface = None
@@ -143,13 +156,20 @@ def make_coarse_step_dense(
                 )
             )
 
-    def coarse_step(states: List[Dict], t):
+    def coarse_step(states: List[Dict], t, _arrs: List[Dict] = None):
+        """_arrs (statics_arg_arrays): per-level device arrays delivered as
+        traced jit arguments; without it the closure statics are inlined as
+        HLO literal constants (134 MB MLIR and half-hour compiles on large
+        cases — always pass it in jitted production loops)."""
         states = list(states)
         u_curr = ramp_velocity(t, cfg.u_lattice, cfg.ramp_steps)
 
         def visit(lvl: int, t_sub, temporal_weight: float, ep_new, ep_old):
             patch = patches[lvl]
-            static = statics[lvl]
+            static = (
+                statics[lvl] if _arrs is None
+                else {**statics[lvl], **_arrs[lvl]}
+            )
             iface = None
             if lvl > 0:
                 if frozen_iface is not None:
@@ -178,7 +198,12 @@ def make_coarse_step_dense(
                 )
                 f_new = storage.encode_f(f_new, precision)
             if bz_apply[lvl] is not None:
-                f_new = bz_apply[lvl](f_new)
+                if _arrs is None:
+                    f_new = bz_apply[lvl](f_new)
+                else:
+                    f_new = bz_apply[lvl](
+                        f_new, _arrs[lvl]["bz_A"], _arrs[lvl]["bz_B"]
+                    )
             states[lvl] = {"f": f_new, "rho": rho_new, "vel": vel_new}
             if lvl + 1 < n_levels:
                 # endpoint ghost planes from the pre/post-step parent state,
@@ -203,19 +228,47 @@ def make_coarse_step_dense(
     return coarse_step
 
 
+def statics_arg_arrays(statics: List[Dict]) -> List[Dict]:
+    """The per-level device arrays of `statics`, shaped as a jit-argument
+    pytree.  Passing them as arguments (instead of letting the jit capture
+    them by closure) keeps them out of the HLO as parameters — closure
+    capture inlines every array as a literal constant, which produced 134 MB
+    compile payloads and tens-of-minutes compiles on multi-million-cell
+    cases."""
+    out = []
+    for st in statics:
+        d = {
+            k: st[k]
+            for k in (
+                "obstacle", "sponge", "wall_dist",
+                "obstacle_u8", "sponge3d", "wall3d", "mom_mat", "back_mat",
+            )
+            if k in st
+        }
+        if st.get("bouzidi") is not None:
+            d["bz_A"] = st["bouzidi"]["A"]
+            d["bz_B"] = st["bouzidi"]["B"]
+        out.append(d)
+    return out
+
+
 def make_batch_runner_dense(
     cfg: CaseConfig, params: DomainParams, patches: List[PatchLevel],
     statics: List[Dict],
 ):
     coarse_step = make_coarse_step_dense(cfg, params, patches, statics)
+    arrs = statics_arg_arrays(statics)
 
-    @partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
-    def run(states, t0, n: int):
+    @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+    def _run(states, arrs_, t0, n: int):
         def body(carry, t):
-            return coarse_step(carry, t), None
+            return coarse_step(carry, t, arrs_), None
 
         out, _ = jax.lax.scan(body, states, t0 + jnp.arange(n, dtype=jnp.int32))
         return out
+
+    def run(states, t0, n: int):
+        return _run(states, arrs, t0, n)
 
     return run
 

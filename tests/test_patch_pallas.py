@@ -223,3 +223,50 @@ def test_pallas_interface_interpret(rng):
     d = np.abs(np.asarray(f_pl)[:, :X_, :Y_, :Z_]
                - np.asarray(f_ref)[:, :X_, :Y_, :Z_])
     assert d.max() < 1e-5, d.max()
+
+
+def test_bouzidi_pallas_matches_dense(rng):
+    """make_bouzidi_pallas (in-place single-dispatch kernel with rotating
+    row DMA) vs apply_bouzidi_dense, both dtypes."""
+    import jax.numpy as jnp
+
+    from open_ludwig_tpu.ops.pallas_step import make_bouzidi_pallas
+    from open_ludwig_tpu.ops.storage import decode_f, encode_f
+
+    X, Y, Z = 16, 16, 120
+    nc = 60
+    cells = np.unique(
+        np.stack([
+            rng.integers(4, 12, nc), rng.integers(4, 12, nc),
+            rng.integers(40, 80, nc),
+        ], 1), axis=0,
+    ).astype(np.int32)
+    q = np.zeros((len(cells), 27), np.float16)
+    mask = rng.random((len(cells), 27)) < 0.3
+    q[mask] = rng.uniform(0.05, 1.0, mask.sum()).astype(np.float16)
+    q[:, 13] = 0
+    bz = BouzidiData(cells[:, 0], cells[:, 1], cells[:, 2], q,
+                     np.full((len(cells), 27), -1, np.int32))
+    p = _patch((X, Y, Z))
+    p.bouzidi = bz
+    plan = build_bouzidi_dense_plan(p, 0.001)
+    f = jnp.asarray(
+        (lat.W[:, None, None, None] * (1 + 0.05 * rng.standard_normal(
+            (27,) + p.padded))).astype(np.float32))
+    ref = apply_bouzidi_dense(f, plan)
+    # f32 storage (the dense plan keeps f16 coefficients, the kernel f32 —
+    # tolerance is the f16 ulp, as in test_bouzidi_dense_matches_sparse)
+    ap = make_bouzidi_pallas(plan, (27,) + p.padded, jnp.float32,
+                             interpret=True)
+    got = ap(f)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=2e-3, rtol=2e-3)
+    # untouched slots are bit-identical
+    changed = np.asarray(ref) != np.asarray(f)
+    assert np.array_equal(np.asarray(got)[~changed], np.asarray(f)[~changed])
+    # bf16 g-storage: correction is form-invariant in g-space
+    g = encode_f(f, "bfloat16")
+    apb = make_bouzidi_pallas(plan, (27,) + p.padded, jnp.bfloat16,
+                              interpret=True)
+    got_b = decode_f(apb(g))
+    d = np.abs(np.asarray(got_b) - np.asarray(ref))
+    assert d.max() < 5e-3, d.max()
