@@ -128,24 +128,30 @@ def _sweep():
     )
 
     rows = []
-    for label, res in (("1M", 25), ("8M", 50), ("64M", 100)):
+    for res in (12, 25, 34):  # ~1.2M / ~11M / ~27M cells
+        # (the fused kernel chunks whole x-planes; planes beyond ~36 MiB
+        # of VMEM footprint — ~27M cells at this domain shape — would fall
+        # back to the XLA path whose (27, N) temporaries exceed HBM at
+        # these sizes.  2-D chunking is the planned lift for 100M+ cells.)
         tmp = tempfile.mkdtemp()
         make_case_sphere(
-            tmp, label, surface_resolution=res, num_levels=1,
+            tmp, "1M", surface_resolution=res, num_levels=1,
             steps=100, ramp_steps=50, output_freq=100000, diag_freq=100000,
+            precision="bfloat16",
         )
         cfg = load_case_config(tmp)
         mesh = load_mesh(cfg.stl_path, scale=cfg.stl_scale)
         params = compute_domain_params(cfg, mesh.min_bounds, mesh.max_bounds)
         levels = build_patches(cfg, mesh, params)
         statics = build_patch_statics(cfg, levels)
-        states = [init_patch_state(p) for p in levels]
+        states = [init_patch_state(p, cfg.precision) for p in levels]
         cells = sum(p.n_cells for p in levels)
         run = make_batch_runner_dense(cfg, params, levels, statics)
         n_timed = max(20, min(200, int(4e9 / cells)))
         batch = max(5, n_timed // 4)
         n_timed = batch * 4
         mlups = _time_runner(run, states, cells, batch=batch, n_timed=n_timed)
+        label = f"{cells/1e6:.1f}M"
         rows.append({"cells": cells, "label": label, "mlups": round(mlups, 1)})
         print(f"# sweep {label}: {cells/1e6:.1f}M cells -> {mlups:.0f} MLUPS",
               file=sys.stderr, flush=True)

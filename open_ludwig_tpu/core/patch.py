@@ -112,6 +112,16 @@ def build_patches(
         ]
     )
 
+    # `margin` counts 8-cell blocks, like the reference's halo margin
+    # (reference: domain_topology.jl:54-133).  NOTE the reference's
+    # halo-block + sibling-octet machinery covers 2-3x more volume at fine
+    # levels than this tight box (its Re10M L2 holds 0.88M cells vs 0.28M
+    # here); the VALIDATION.md coverage study measured long-run Cd with
+    # tight boxes, reference-matched coverage (margin 5) and octet-aligned
+    # boxes — the means agree with the reference within sampling
+    # uncertainty in all three, tight boxes matching best (+0.6% at Re10M),
+    # so the cheaper tight box is the default and `refinement.margin` is
+    # the coverage knob.
     margin_cells = cfg.refinement_margin * 8  # block margin, in cells
 
     patches: List[PatchLevel] = []

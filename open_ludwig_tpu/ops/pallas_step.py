@@ -112,7 +112,14 @@ def make_bouzidi_pallas(plan: Dict, shape, f_dtype, interpret: bool = False):
         for s, j in pending.items():
             row_dma(s, j).wait()
 
-    box_bytes = 27 * bx * by * bz * (2 if f_dtype == jnp.bfloat16 else 4)
+    bf16 = f_dtype == jnp.bfloat16
+    box_elems = 27 * bx * by * bz
+    # A/B coefficient VMEM inputs + the box scratch + the 2-row out buffer
+    box_bytes = (
+        2 * box_elems * (2 if bf16 else 4)  # coefficients (coef_t)
+        + box_elems * (2 if bf16 else 4)  # box scratch (f_dtype)
+        + 2 * bx * by * bz * (2 if bf16 else 4)
+    )
     call = pl.pallas_call(
         kernel,
         in_specs=[
@@ -249,9 +256,18 @@ def make_pallas_step(
     else:
         PX = 1
         for cand in (8, 4, 2):
-            if XS % cand == 0 and (
-                4 * (27 * f_bytes + 3 * 4) * cand * YS * ZS < 56 * 2**20
-            ):
+            # full per-chunk VMEM footprint: rotating DMA windows +
+            # pipelined static in-blocks + double-buffered out-blocks
+            # (the declared vmem limit follows this estimate; keeping it
+            # bounded leaves room for the Bouzidi kernel and XLA's own
+            # VMEM use in the 128 MiB space)
+            plane_c = cand * YS * ZS
+            est_c = (
+                _SLOTS * (27 * f_bytes + 3 * 4) * plane_c
+                + 2 * 9 * plane_c
+                + 2 * (27 * f_bytes + 4 + 3 * 4) * plane_c
+            )
+            if XS % cand == 0 and est_c < 36 * 2**20:
                 PX = cand
                 break
     assert XS % PX == 0, (XS, PX)
@@ -542,7 +558,7 @@ def make_pallas_step(
                 # limit during scheduling, and over-declaring starves other
                 # kernels of VMEM (observed program-level OOM on Re10M)
                 vmem_limit_bytes=min(
-                    100 * 2**20, int(est * 1.25) + 8 * 2**20
+                    100 * 2**20, int(est * 1.5) + 12 * 2**20
                 ),
             ),
             interpret=interpret,

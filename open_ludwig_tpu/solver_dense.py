@@ -66,17 +66,21 @@ def build_patch_statics(cfg: CaseConfig, patches: List[PatchLevel]) -> List[Dict
     return statics
 
 
-# VMEM budget for the Pallas plane window (bytes); levels whose plane exceeds
-# it fall back to the XLA dense path.  The kernel requests a 100 MiB scoped
-# vmem limit (v5e has >= 128 MiB physical); the window plus pipelined
-# in/out blocks must stay under it.
-_PALLAS_VMEM_BUDGET = 60 * 2**20
+# VMEM budget for one single-plane (PX=1) chunk of the Pallas kernel —
+# rotating DMA windows + pipelined in/out blocks (the same footprint formula
+# the kernel uses to pick PX and declare its vmem limit); levels whose
+# single-plane footprint exceeds it fall back to the XLA dense path.  The
+# PX>1 chunking inside the kernel uses a tighter 36 MiB bound; a lone PX=1
+# kernel may claim up to this (declared ~1.5x + 12 MiB, still leaving the
+# 128 MiB space room for XLA's own VMEM promotion).
+_PALLAS_VMEM_BUDGET = 52 * 2**20
 
 
 def _pallas_fits(p: PatchLevel, store_bf16: bool = False) -> bool:
     m = p.padded[1] * p.padded[2]
-    f_bytes = 2 if store_bf16 else 4
-    return 4 * (27 * f_bytes + 3 * 4) * m < _PALLAS_VMEM_BUDGET
+    fb = 2 if store_bf16 else 4
+    est1 = (4 * (27 * fb + 12) + 2 * 9 + 2 * (27 * fb + 16)) * m
+    return est1 < _PALLAS_VMEM_BUDGET
 
 
 def make_coarse_step_dense(
@@ -126,8 +130,9 @@ def make_coarse_step_dense(
             bz_apply.append(None)
             continue
         f_dtype = jnp.bfloat16 if store_bf16 else jnp.float32
-        box_bytes = 27 * int(np.prod(plan["dim"])) * (2 if store_bf16 else 4)
-        if psteps[li] is not None and box_bytes < 24 * 2**20:
+        # coefficients (A+B) + box scratch, all resident in VMEM at once
+        box_bytes = 3 * 27 * int(np.prod(plan["dim"])) * (2 if store_bf16 else 4)
+        if psteps[li] is not None and box_bytes < 32 * 2**20:
             bz_apply.append(
                 make_bouzidi_pallas(plan, (27,) + p.padded, f_dtype)
             )

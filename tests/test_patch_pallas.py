@@ -187,11 +187,14 @@ def test_sharded_dense_step_matches_single():
     assert d < 1e-5, d
 
 
-def test_pallas_interface_interpret(rng):
-    """Pallas kernel with interface ghost faces (fine-patch configuration)."""
+@pytest.mark.parametrize("X", [8, 16])
+def test_pallas_interface_interpret(rng, X):
+    """Pallas kernel with interface ghost faces (fine-patch configuration).
+    X=16 exercises the multi-chunk grid (NCH=2): the per-chunk BlockSpec
+    windowing of the y/z ghost planes must deliver the right rows."""
     from open_ludwig_tpu.ops.dense_step import dense_stream_collide as dsc
 
-    X, Y, Z = 8, 8, 120
+    Y, Z = 8, 120
     p = _patch((X, Y, Z), tau=0.53, lo=(10, 12, 14),
                face_bc=[BC_INTERFACE] * 6, level_id=2)
     p.obstacle[3:5, 3:5, 50:54] = True
