@@ -273,3 +273,18 @@ def test_bouzidi_pallas_matches_dense(rng):
     got_b = decode_f(apb(g))
     d = np.abs(np.asarray(got_b) - np.asarray(ref))
     assert d.max() < 5e-3, d.max()
+
+
+def test_production_multichip_dryrun():
+    """The production multi-level sharded step (parallel.patch_shard via
+    __graft_entry__.dryrun_multichip) on the virtual 8-device CPU mesh:
+    asserts sharded == single-device internally."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
