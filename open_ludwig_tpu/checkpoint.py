@@ -49,7 +49,13 @@ def latest_checkpoint(path_dir: str) -> Optional[str]:
     return files[-1] if files else None
 
 
-def load_checkpoint(path: str) -> Tuple[int, List[Dict]]:
+def load_checkpoint(path: str, precision: Optional[str] = None) -> Tuple[int, List[Dict]]:
+    """Load a checkpoint; with `precision` given, convert the saved f arrays
+    to that storage precision (a run resumed after changing
+    advanced.numerics.precision would otherwise feed the compiled step a
+    mismatched dtype and fail at compile)."""
+    from .ops import storage
+
     data = np.load(path)
     ver = int(data["format_version"]) if "format_version" in data else 0
     if ver > FORMAT_VERSION:
@@ -64,5 +70,7 @@ def load_checkpoint(path: str) -> Tuple[int, List[Dict]]:
                 st[key] = jnp.asarray(data[tagged]).view(jnp.bfloat16)
             else:
                 st[key] = jnp.asarray(data[f"L{i}_{key}"])
+        if precision is not None:
+            st["f"] = storage.encode_f(storage.decode_f(st["f"]), precision)
         states.append(st)
     return int(data["step"]), states

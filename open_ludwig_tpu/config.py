@@ -109,6 +109,9 @@ class CaseConfig:
     # --- advanced.diagnostics ---
     diag_freq: int = 500
     stability_check: bool = True
+    stability_action: str = "warn"    # "warn" logs and continues (reference
+                                      # behavior); "abort" checkpoints the
+                                      # last-good state and ends the case
     print_tau_warning: bool = True
 
     # --- advanced.gpu (reference knob; maps to on-device scan length) ---
@@ -264,6 +267,9 @@ def parse_config(cfg: Dict, case_dir: str = "") -> CaseConfig:
         diag_freq=int(_get(cfg, "advanced", "diagnostics", "freq", default=500)),
         stability_check=bool(
             _get(cfg, "advanced", "diagnostics", "stability_check", default=True)
+        ),
+        stability_action=str(
+            _get(cfg, "advanced", "diagnostics", "stability_action", default="warn")
         ),
         print_tau_warning=bool(
             _get(cfg, "advanced", "diagnostics", "print_tau_warning", default=True)

@@ -14,6 +14,7 @@ import base64
 import logging
 import os
 import struct
+import zlib
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -27,9 +28,22 @@ BLOCK_EDGE = 8
 VTK_VOXEL = 11
 VTK_TRIANGLE = 5
 
+#: zlib-compressed appended blocks, matching the reference's WriteVTK default
+#: (reference: src/io_vtk.jl:123 writes compressed .vtu); flow fields at
+#: production resolution are multi-GB uncompressed.  Set False for plain
+#: base64 (useful when diffing outputs byte-wise in tests).
+COMPRESS = True
+
 
 def _b64(arr: np.ndarray) -> str:
     raw = np.ascontiguousarray(arr).tobytes()
+    if COMPRESS:
+        # VTK XML compressed format: one block; the UInt32[4] block header
+        # [nblocks, blocksize, last_blocksize, compressed_size] is base64
+        # encoded SEPARATELY from the compressed payload
+        comp = zlib.compress(raw, 6)
+        head = struct.pack("<4I", 1, len(raw), len(raw), len(comp))
+        return (base64.b64encode(head) + base64.b64encode(comp)).decode()
     return base64.b64encode(struct.pack("<I", len(raw)) + raw).decode()
 
 
@@ -55,10 +69,13 @@ def write_vtu(
     offsets = (np.arange(1, n_cells + 1, dtype=np.int32)) * vpc
     types = np.full(n_cells, cell_type, np.uint8)
 
+    compressor = (
+        ' compressor="vtkZLibDataCompressor"' if COMPRESS else ""
+    )
     parts = [
         '<?xml version="1.0"?>',
         '<VTKFile type="UnstructuredGrid" version="0.1" '
-        'byte_order="LittleEndian" header_type="UInt32">',
+        f'byte_order="LittleEndian" header_type="UInt32"{compressor}>',
         "<UnstructuredGrid>",
         f'<Piece NumberOfPoints="{n_pts}" NumberOfCells="{n_cells}">',
         "<Points>",
@@ -165,9 +182,14 @@ def export_flow_vtu(
         data["Velocity"].append(np.moveaxis(vel, 0, -1).reshape(-1, 3))
         data["VelocityMagnitude"].append(np.sqrt((vel**2).sum(axis=0)).reshape(-1))
         if fields.vorticity:
-            from ..diagnostics import vorticity_magnitude
+            from ..diagnostics import vorticity_blocks_host
 
-            w = np.asarray(vorticity_magnitude(st["vel"]))[keep]
+            # seam-free across block faces: dense assembly + mask-aware
+            # differences (intra-block rolls would print an artifact sheet
+            # at every 8-cell boundary into the file)
+            w = vorticity_blocks_host(
+                np.asarray(st["vel"]), geo.coords, geo.dims
+            )[keep]
             data["Vorticity"].append(w.reshape(-1))
         data["Obstacle"].append(obs.reshape(-1).astype(np.uint8))
         data["Level"].append(np.full(m * 512, geo.level_id, np.int32))

@@ -414,6 +414,7 @@ def collide_unrolled_v2(
     nu_sgs_background: float,
     wall_model: bool,
     sponge_blend: bool,
+    g_shifted: bool = False,
 ):
     """collide_unrolled with the direction loops factorized over the D3Q27
     tensor-product structure — same physics, ~2x fewer vector ops:
@@ -427,6 +428,14 @@ def collide_unrolled_v2(
         where the ten t-fields absorb equilibrium + regularized stress +
         Guo forcing (same merge as collide_moments), evaluated with 3
         shared terms per (cy,cz) column.
+
+    With `g_shifted`, inputs AND outputs are the shifted distributions
+    g_k = f_k - w_k (ops.storage bf16 g-storage): the weight shift is exact
+    on the moment side (sum w = 1, sum c w = 0, sum c c^T w = cs^2 I) and on
+    the output side f_k = w_k * expr_k means g_k = w_k * (expr_k - 1) — five
+    constant adds replace the 54 per-direction decode/encode ops the kernel
+    otherwise spends.  Obstacle bounce-back and the mirror BCs commute with
+    the shift (w[opp_k] = w[mirror_k] = w[k]).
 
     Validated against collide_unrolled (test_collide_moments).
     Returns (f_out list of 27, rho_out, vel_out (3, *S)).
@@ -468,6 +477,15 @@ def collide_unrolled_v2(
     Sxy = red(s1, lambda cy, cz: cy)
     Szx = red(s1, lambda cy, cz: cz)
     Syz = red(s0, lambda cy, cz: cy * cz)
+
+    if g_shifted:
+        # moments of the weight shift: sum w = 1, sum c w = 0,
+        # sum c c^T w = cs^2 I (j and the cross moments are shift-free)
+        rho_raw = rho_raw + 1.0
+        CS2_ = 1.0 / 3.0
+        Sxx = Sxx + CS2_
+        Syy = Syy + CS2_
+        Szz = Szz + CS2_
 
     rho_raw = jnp.maximum(rho_raw, 0.01)
     inv_rho_raw = 1.0 / rho_raw
@@ -516,8 +534,11 @@ def collide_unrolled_v2(
     P6 = one_m_om * (Szx - ruzx)
 
     # quadratic-form fields: f_k / w_k = t0 + c.t + c^T T2 c
-    # (the -4.5*cs^2*tr(P) constant from the regularized Q_k folds into t0)
+    # (the -4.5*cs^2*tr(P) constant from the regularized Q_k folds into t0;
+    # in g-space the output is g_k = w_k (expr_k - 1), one constant fold)
     t0 = rho - 1.5 * rho * usq_eq - 1.5 * (P1 + P2 + P3)
+    if g_shifted:
+        t0 = t0 - 1.0
     tx, ty, tz = 3.0 * rux, 3.0 * ruy, 3.0 * ruz
     txx = 4.5 * (ruxx + P1)
     tyy = 4.5 * (ruyy + P2)

@@ -176,9 +176,12 @@ def interface_from_endpoints(
     parent: PatchLevel,
     temporal_weight: float,
     use_temporal: bool,
+    g_shifted: bool = False,
 ) -> Dict[int, jnp.ndarray]:
     """Temporal lerp of endpoint planes + equilibrium split + f_neq rescale
-    (reference: src/physics_interpolation.jl:69-138)."""
+    (reference: src/physics_interpolation.jl:69-138).  With `g_shifted` the
+    planes are emitted in the shifted space g = f - w consumed by the
+    g-native Pallas kernel (the -w folds into the feq term)."""
     tau_c = parent.tau - 0.5
     tau_f = patch.tau - 0.5
     scale = float(np.clip(tau_f / tau_c, 0.01, 100.0)) if tau_c > 1e-6 else 1.0
@@ -203,7 +206,96 @@ def interface_from_endpoints(
         feq = rho_int[None] * _W[:, None, None] * (
             1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * usq
         )
-        out[face] = feq + (f_int - feq) * jnp.float32(scale)
+        plane = feq + (f_int - feq) * jnp.float32(scale)
+        if g_shifted:
+            plane = plane - _W[:, None, None]
+        out[face] = plane
+    return out
+
+
+def _shift_planes(pl_arr: jnp.ndarray, ax: int, A: int, B: int) -> jnp.ndarray:
+    """Apply the per-direction (1 - c) spatial shifts to ([n_w,] 27, A+2,
+    B+2) ghost planes in TWO grouped passes instead of 27 per-direction
+    slices: the direction index factorizes as k - 1 = (cx+1) + 3(cy+1) +
+    9(cz+1), so reshaping the k axis to (3, 3, 3) = (cz, cy, cx) exposes
+    each c-component as its own axis — one pass per transverse axis does 3
+    contiguous (c-index x spatial) slices + 1 concat.  k-order is preserved
+    (the kernel keeps reading rows by plain direction index)."""
+    lead = pl_arr.ndim - 3
+    t_axes = [a for a in range(3) if a != ax]
+    p = pl_arr.reshape(pl_arr.shape[:lead] + (3, 3, 3) + pl_arr.shape[lead + 1:])
+    c_axis_of = {0: lead + 2, 1: lead + 1, 2: lead + 0}  # cx, cy, cz axes
+    for t_i, t_ax in enumerate(t_axes):
+        c_axis = c_axis_of[t_ax]
+        sp_axis = lead + 3 + t_i
+        ln = A if t_i == 0 else B
+        parts = []
+        for ci in (0, 1, 2):  # c = ci - 1, shift offset s = 1 - c = 2 - ci
+            s = 2 - ci
+            starts = [0] * p.ndim
+            limits = list(p.shape)
+            starts[c_axis], limits[c_axis] = ci, ci + 1
+            starts[sp_axis], limits[sp_axis] = s, s + ln
+            parts.append(jax.lax.slice(p, starts, limits))
+        p = jnp.concatenate(parts, axis=c_axis)
+    return p.reshape(pl_arr.shape[:lead] + (27, A, B))
+
+
+def interface_planes_pair(
+    ep_new: Dict[int, Dict],
+    ep_old: Optional[Dict[int, Dict]],
+    patch: PatchLevel,
+    parent: PatchLevel,
+    use_temporal: bool,
+    g_shifted: bool = False,
+) -> Dict[int, jnp.ndarray]:
+    """Pre-shifted ghost planes for BOTH child sub-steps of one parent step,
+    in the layout the Pallas kernel consumes directly (no per-sub-step
+    shift_iface_planes):
+
+      face 0/1 (x): (n_w, 27, YS, ZS);  face 2/3 (y): (n_w, XS, 27, ZS);
+      face 4/5 (z): (n_w, XS, 27, YS) — x-rows lead for the chunk BlockSpec,
+      direction rows in IFACE_POS class order, spatial shift pre-applied.
+
+    n_w = 2 with temporal interpolation (weights 0.0 and 0.5 stacked so the
+    blend + feq + f_neq-rescale chain runs ONCE on a (2, ...) batch — half
+    the XLA ops of two interface_from_endpoints calls), else n_w = 1 shared
+    by both sub-steps.  Direction rows stay in plain k order (_shift_planes
+    preserves it).  With `g_shifted` the planes are in g = f - w space
+    (reference math: src/physics_interpolation.jl:69-138)."""
+    tau_c = parent.tau - 0.5
+    tau_f = patch.tau - 0.5
+    scale = float(np.clip(tau_f / tau_c, 0.01, 100.0)) if tau_c > 1e-6 else 1.0
+    XS, YS, ZS = patch.padded
+    blend = use_temporal and ep_old is not None
+    out = {}
+    for face, new in ep_new.items():
+        if blend:
+            old = ep_old[face]
+            # weights (0.0, 0.5): sub-step A is the pure old coarse state
+            f_int = jnp.stack([old["f"], 0.5 * (old["f"] + new["f"])])
+            rho_int = jnp.stack([old["rho"], 0.5 * (old["rho"] + new["rho"])])
+            u_int = jnp.stack([old["vel"], 0.5 * (old["vel"] + new["vel"])])
+        else:
+            f_int = new["f"][None]
+            rho_int = new["rho"][None]
+            u_int = new["vel"][None]
+        cu = jnp.einsum("ak,na...->nk...", _C, u_int)
+        usq = jnp.sum(u_int * u_int, axis=1)
+        feq = rho_int[:, None] * _W[None, :, None, None] * (
+            1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * usq[:, None]
+        )
+        plane = feq + (f_int - feq) * jnp.float32(scale)
+        if g_shifted:
+            plane = plane - _W[None, :, None, None]
+        ax = face // 2
+        t_axes = [a for a in range(3) if a != ax]
+        A, B = patch.padded[t_axes[0]], patch.padded[t_axes[1]]
+        plane = _shift_planes(plane, ax, A, B)
+        if ax:
+            # x-rows lead for the kernel's per-chunk BlockSpec windows
+            plane = jnp.transpose(plane, (0, 2, 1, 3))
+        out[face] = plane
     return out
 
 

@@ -188,9 +188,13 @@ def prepare_pallas_statics(patch: PatchLevel) -> Dict:
     }
 
 
-def shift_iface_planes(iface: Dict[int, jnp.ndarray], patch: PatchLevel) -> Dict:
-    """Pre-apply the per-direction (1-c) shifts to interface ghost planes so
-    the kernel only does aligned static reads:
+def prep_iface_pallas(
+    iface: Dict[int, jnp.ndarray], patch: PatchLevel, g_shifted: bool = False
+) -> Dict:
+    """Convert raw per-face ghost planes (27, A+2, B+2) to the pre-shifted
+    layout the kernel consumes (the production scheduler instead builds that
+    layout directly in ops.dense_step.interface_planes_pair, fused with the
+    blend/feq/rescale chain):
       face 0/1 (x): (27, YS, ZS) value for dest (., y, z) — whole plane,
         consumed only by the first/last chunk;
       face 2/3 (y): (XS, 27, ZS), face 4/5 (z): (XS, 27, YS) — x-rows LEAD
@@ -198,21 +202,21 @@ def shift_iface_planes(iface: Dict[int, jnp.ndarray], patch: PatchLevel) -> Dict
         and every in-kernel read is fully static (a dynamically-offset
         sublane load only lowers in Mosaic when the lane dim is one whole
         128 tile, which z-face planes with YS in lanes generally are not).
-    """
-    XS, YS, ZS = patch.padded
+    Direction rows stay in plain k order; the per-direction (1 - c) spatial
+    shifts are pre-applied in two grouped passes (dense_step._shift_planes)."""
+    from .dense_step import _shift_planes
+
     out = {}
     for face, pl_arr in iface.items():
+        if g_shifted:
+            pl_arr = pl_arr - jnp.asarray(lat.W)[:, None, None]
         ax = face // 2
-        rows = []
-        for k in range(27):
-            cx, cy, cz = int(lat.C_X[k]), int(lat.C_Y[k]), int(lat.C_Z[k])
-            if ax == 0:
-                rows.append(pl_arr[k, 1 - cy : 1 - cy + YS, 1 - cz : 1 - cz + ZS])
-            elif ax == 1:
-                rows.append(pl_arr[k, 1 - cx : 1 - cx + XS, 1 - cz : 1 - cz + ZS])
-            else:
-                rows.append(pl_arr[k, 1 - cx : 1 - cx + XS, 1 - cy : 1 - cy + YS])
-        out[face] = jnp.stack(rows, axis=1 if ax else 0)
+        t_axes = [a for a in range(3) if a != ax]
+        A, B = patch.padded[t_axes[0]], patch.padded[t_axes[1]]
+        plane = _shift_planes(pl_arr, ax, A, B)
+        if ax:
+            plane = jnp.transpose(plane, (1, 0, 2))
+        out[face] = plane
     return out
 
 
@@ -238,16 +242,26 @@ def make_pallas_step(
     XS, YS, ZS = patch.padded
     X, Y, Z = patch.interior
     fb = patch.face_bc
-    # bf16 storage holds g = f - w (ops.storage); decode to f32 right after
-    # the streaming shifts, encode at the output store — all math is f32
+    # bf16 storage holds g = f - w (ops.storage).  The kernel works in
+    # g-space NATIVELY (collide_unrolled_v2 g_shifted folds the weight shift
+    # into five moment constants), so dec/enc are bare dtype casts — the 54
+    # per-direction +w/-w ops of the decode-to-f formulation are gone.  The
+    # MXU collision variant has no g-space form, so it decodes as before.
     f_dtype = jnp.bfloat16 if store_bf16 else jnp.float32
     f_bytes = 2 if store_bf16 else 4
+    g_native = store_bf16 and not use_mxu and _stage == "full"
 
     def dec(x, k):
-        return x.astype(jnp.float32) + float(lat.W[k]) if store_bf16 else x
+        if not store_bf16:
+            return x
+        x = x.astype(jnp.float32)
+        return x if g_native else x + float(lat.W[k])
 
     def enc(x, k):
-        return (x - float(lat.W[k])).astype(jnp.bfloat16) if store_bf16 else x
+        if not store_bf16:
+            return x
+        return x.astype(jnp.bfloat16) if g_native \
+            else (x - float(lat.W[k])).astype(jnp.bfloat16)
 
     # chunked grid: PX x-planes per step amortize per-op vector overheads;
     # bounded by the VMEM window budget
@@ -350,7 +364,9 @@ def make_pallas_step(
                 u_inst = u_inlet + noise * jnp.float32(inlet_turbulence) * u_inlet
             else:
                 u_inst = jnp.broadcast_to(u_inlet, (YS, ZS)).astype(jnp.float32)
-            inlet_factor = (1.0 + 3.0 * u_inst + 3.0 * u_inst * u_inst)[None, :, :]
+            # g-space drops the constant 1 (g = w*(expr - 1))
+            base1 = 0.0 if g_native else 1.0
+            inlet_factor = (base1 + 3.0 * u_inst + 3.0 * u_inst * u_inst)[None, :, :]
         else:
             inlet_factor = None
 
@@ -358,7 +374,9 @@ def make_pallas_step(
             cx, cy, cz = int(lat.C_X[k]), int(lat.C_Y[k]), int(lat.C_Z[k])
             bc = fb[face]
             if bc == BC_INTERFACE:
-                pr = iface_refs[face]  # pre-shifted by shift_iface_planes
+                # planes arrive pre-shifted (dense_step._shift_planes),
+                # direction rows in plain k order
+                pr = iface_refs[face]
                 if face // 2 == 0:
                     return pr[k][None, :, :]  # (1, YS, ZS), bcast over PX
                 # y/z faces arrive as this chunk's (PX, 27, B) BlockSpec
@@ -372,7 +390,8 @@ def make_pallas_step(
             if bc == BC_OUTLET:
                 cu = float(lat.C_X[k]) * u_inlet
                 return float(lat.W[k]) * (
-                    1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * u_inlet * u_inlet
+                    (0.0 if g_native else 1.0)
+                    + 3.0 * cu + 4.5 * cu * cu - 1.5 * u_inlet * u_inlet
                 )
             if bc == BC_MIRROR_Y:
                 # w[mirror_k] == w[k]: mirroring flips one component's sign
@@ -480,6 +499,8 @@ def make_pallas_step(
             wall_model=wall_model,
             sponge_blend=sponge_blend,
         )
+        if g_native:
+            kw["g_shifted"] = True
         if use_mxu:
             f_out, rho_out, vel_out = cm.collide_moments(
                 jnp.stack(streamed), nbrs, obstacle_ref[:] != 0,
@@ -497,7 +518,10 @@ def make_pallas_step(
         velout_ref[:] = vel_out
 
     def step(f, vel, u_inlet, t_seed, statics3d, iface: Optional[Dict] = None):
-        iface = shift_iface_planes(iface or {}, patch)
+        """`iface` planes must already be in the pre-shifted class-permuted
+        layout (dense_step.interface_planes_pair / prep_iface_pallas), in the
+        same space as the state (g = f - w when step.g_native)."""
+        iface = iface or {}
         iface_specs = []
         iface_vals = []
         for fc in need_iface:
@@ -578,4 +602,7 @@ def make_pallas_step(
         )
         return fo, rho, vo
 
+    # callers must deliver interface ghost planes in the same space as the
+    # state (g = f - w when g_native); interface_from_endpoints(g_shifted=...)
+    step.g_native = g_native
     return step

@@ -34,7 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import CaseConfig
 from ..core.patch import PatchLevel
 from ..scaling import DomainParams
-from ..solver_dense import make_coarse_step_dense
+from ..solver_dense import make_coarse_step_dense, statics_arg_arrays
 
 
 def make_x_mesh(n_devices: int = 0) -> Mesh:
@@ -101,23 +101,25 @@ def make_batch_runner_sharded(
     coarse_step = make_coarse_step_dense(
         cfg, params, patches, statics, use_pallas=False
     )
-    sh = state_shardings(mesh)
-    in_sh = [sh for _ in patches]
+    # statics ride as traced jit arguments (statics_arg_arrays) exactly as in
+    # make_batch_runner_dense: closure capture would inline every multi-MB
+    # static field into the HLO as a literal constant (134 MB payloads and
+    # tens-of-minutes compiles measured on large cases).  The arrays keep the
+    # shardings shard_statics committed them with; in_shardings is left
+    # unspecified for that argument so jit honors those placements.
+    arrs = statics_arg_arrays(statics)
 
-    @partial(
-        jax.jit,
-        static_argnums=(2,),
-        donate_argnums=(0,),
-        in_shardings=(in_sh, None),
-        out_shardings=in_sh,
-    )
-    def run(states, t0, n: int):
+    @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+    def _run(states, arrs_, t0, n: int):
         def body(carry, t):
-            return coarse_step(list(carry), t), None
+            return coarse_step(list(carry), t, arrs_), None
 
         out, _ = jax.lax.scan(
             body, states, t0 + jax.numpy.arange(n, dtype=jax.numpy.int32)
         )
         return out
+
+    def run(states, t0, n: int):
+        return _run(states, arrs, t0, n)
 
     return run

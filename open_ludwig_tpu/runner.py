@@ -84,7 +84,7 @@ def solve_case(cfg: CaseConfig) -> SolveResult:
         total_cells = sum(p.n_cells for p in levels)
         from .solver_dense import hbm_report_patches
 
-        log.info(hbm_report_patches(levels, statics))
+        log.info(hbm_report_patches(levels, statics, cfg.precision))
     else:
         from .ops.storage import STORE_F32, normalize_precision
 
@@ -110,7 +110,9 @@ def solve_case(cfg: CaseConfig) -> SolveResult:
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     if cfg.checkpoint_resume and ckpt.latest_checkpoint(ckpt_dir):
         path = ckpt.latest_checkpoint(ckpt_dir)
-        resume_step, states = ckpt.load_checkpoint(path)
+        resume_step, states = ckpt.load_checkpoint(
+            path, precision=cfg.precision if dense else None
+        )
         log.info("[Checkpoint] resumed from %s at step %d", path, resume_step)
     else:
         if os.path.isdir(out_dir):
@@ -221,12 +223,14 @@ def solve_case(cfg: CaseConfig) -> SolveResult:
             u_curr = _ramp_host(t_done, cfg)
             cd_str = cl_str = "N/A"
             if force_ctx is not None:
+                # display-only here: forces.csv rows are appended exclusively
+                # on force_output_freq boundaries above, matching the
+                # reference's single FORCE_OUTPUT_FREQ cadence
+                # (reference: forces/io.jl:100, config_loader.jl:192)
                 if last_forces is None or t_done % fof != 0:
                     last_forces = compute_aerodynamics(states[-1], force_ctx)
                 fr = last_forces
                 cd_str, cl_str = f"{fr.Cd:.4f}", f"{fr.Cl:.4f}"
-                if fof <= 0 or t_done % fof != 0:
-                    append_forces(force_csv, t_done, t_phys, fr, u_curr)
             wall = walltime_str(t_start)
             log.info(
                 "%8d | %12s | %10.4f | %.4f | %.4f | %7.1f | %8s | %8s",
@@ -237,8 +241,25 @@ def solve_case(cfg: CaseConfig) -> SolveResult:
                 cd_str, cl_str,
             )
             if cfg.stability_check:
-                for w in check_stability(stats, t_done):
+                warns = check_stability(stats, t_done)
+                for w in warns:
                     log.warning("[Stability] step %d: %s", t_done, w)
+                diverged = not np.isfinite(stats.rho_min) or stats.rho_min < 0.5 \
+                    or stats.rho_max > 1.5 or not np.isfinite(stats.v_max)
+                if warns and cfg.stability_action == "abort" and diverged:
+                    # checkpoint whatever state we have and end the case
+                    # cleanly (the batch runner isolates per-case failures,
+                    # so the remaining cases still run) instead of burning
+                    # the rest of the wall-clock on a diverged field
+                    path = ckpt.save_checkpoint(ckpt_dir, t_done, states)
+                    log.error(
+                        "[Stability] step %d: divergence detected "
+                        "(stability_action=abort); state saved to %s",
+                        t_done, path,
+                    )
+                    raise RuntimeError(
+                        f"simulation diverged at step {t_done}: {warns[0]}"
+                    )
 
         if t_done % cfg.output_freq == 0:
             if dense:
@@ -378,13 +399,13 @@ def plan_case(cfg: CaseConfig) -> None:
              params.nz_coarse)
     patches = build_patches(cfg, mesh, params)
     statics = build_patch_statics(cfg, patches)
-    log.info(hbm_report_patches(patches, statics))
+    log.info(hbm_report_patches(patches, statics, cfg.precision))
     total = sum(p.n_cells for p in patches)
     upd = sum(p.n_cells * 2 ** (p.level_id - 1) for p in patches)
     log.info("total %.2fM cells | %.2fM site-updates per coarse step | %d steps",
              total / 1e6, upd / 1e6, cfg.steps)
-    cap = estimate_capacity(16.0)
-    log.info("capacity: ~%.0fM cells fit a 16 GB chip -> this case uses %.1f%%",
+    cap = estimate_capacity(precision=cfg.precision)
+    log.info("capacity: ~%.0fM cells fit this chip -> this case uses %.1f%%",
              cap / 1e6, 100.0 * sum(p.n_padded for p in patches) / cap)
 
 

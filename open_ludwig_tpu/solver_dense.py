@@ -25,11 +25,13 @@ from .ops.dense_step import (
     interface_endpoints,
     interface_endpoints_pair,
     interface_from_endpoints,
+    interface_planes_pair,
 )
 from .ops import storage
 from .ops.pallas_step import (
     make_bouzidi_pallas,
     make_pallas_step,
+    prep_iface_pallas,
     prepare_pallas_statics,
 )
 from .scaling import DomainParams
@@ -149,17 +151,22 @@ def make_coarse_step_dense(
                 )
             )
 
+    # whether each level's Pallas step is g-native (pre-shifted ghost planes
+    # must then arrive in g = f - w space)
+    g_native = [ps is not None and getattr(ps, "g_native", False) for ps in psteps]
+
     frozen_iface = None
     if _iface_mode == "frozen":
         sts0 = [init_patch_state(p, cfg.precision) for p in patches]
         frozen_iface = [None]
         for li in range(1, n_levels):
             ep0 = interface_endpoints(patches[li], patches[li - 1], sts0[li - 1])
-            frozen_iface.append(
-                interface_from_endpoints(
-                    ep0, None, patches[li], patches[li - 1], 0.0, False
-                )
+            fr = interface_from_endpoints(
+                ep0, None, patches[li], patches[li - 1], 0.0, False
             )
+            if psteps[li] is not None:
+                fr = prep_iface_pallas(fr, patches[li], g_shifted=g_native[li])
+            frozen_iface.append(fr)
 
     def coarse_step(states: List[Dict], t, _arrs: List[Dict] = None):
         """_arrs (statics_arg_arrays): per-level device arrays delivered as
@@ -169,21 +176,12 @@ def make_coarse_step_dense(
         states = list(states)
         u_curr = ramp_velocity(t, cfg.u_lattice, cfg.ramp_steps)
 
-        def visit(lvl: int, t_sub, temporal_weight: float, ep_new, ep_old):
+        def visit(lvl: int, t_sub, iface):
             patch = patches[lvl]
             static = (
                 statics[lvl] if _arrs is None
                 else {**statics[lvl], **_arrs[lvl]}
             )
-            iface = None
-            if lvl > 0:
-                if frozen_iface is not None:
-                    iface = frozen_iface[lvl]
-                else:
-                    iface = interface_from_endpoints(
-                        ep_new, ep_old, patch, patches[lvl - 1],
-                        temporal_weight, use_temporal,
-                    )
             st = states[lvl]
             seed = (t_sub % 1000000).astype(jnp.int32)
             if psteps[lvl] is not None:
@@ -212,22 +210,46 @@ def make_coarse_step_dense(
             states[lvl] = {"f": f_new, "rho": rho_new, "vel": vel_new}
             if lvl + 1 < n_levels:
                 # endpoint ghost planes from the pre/post-step parent state,
-                # computed once and shared by both child sub-steps (the
-                # temporal blend is a cheap plane lerp per sub-step)
+                # computed once and shared by both child sub-steps; the
+                # Pallas levels get the blend + feq + rescale + shift chain
+                # for BOTH sub-steps fused into one batched op sequence
+                # (interface_planes_pair), the XLA fallback gets the raw
+                # per-sub-step planes
                 child = patches[lvl + 1]
                 if frozen_iface is not None:
-                    ep_old = ep_new = None
-                elif use_temporal:
-                    ep_old, ep_new = interface_endpoints_pair(
-                        child, patch, st, states[lvl]
+                    if_a = if_b = frozen_iface[lvl + 1]
+                elif psteps[lvl + 1] is not None:
+                    if use_temporal:
+                        ep_old, ep_new = interface_endpoints_pair(
+                            child, patch, st, states[lvl]
+                        )
+                    else:
+                        ep_old = None
+                        ep_new = interface_endpoints(child, patch, states[lvl])
+                    planes = interface_planes_pair(
+                        ep_new, ep_old, child, patch, use_temporal,
+                        g_shifted=g_native[lvl + 1],
                     )
+                    if_a = {fc: v[0] for fc, v in planes.items()}
+                    if_b = {fc: v[-1] for fc, v in planes.items()}
                 else:
-                    ep_old = None
-                    ep_new = interface_endpoints(child, patch, states[lvl])
-                visit(lvl + 1, 2 * t_sub, 0.0, ep_new, ep_old)
-                visit(lvl + 1, 2 * t_sub + 1, 0.5, ep_new, ep_old)
+                    if use_temporal:
+                        ep_old, ep_new = interface_endpoints_pair(
+                            child, patch, st, states[lvl]
+                        )
+                    else:
+                        ep_old = None
+                        ep_new = interface_endpoints(child, patch, states[lvl])
+                    if_a = interface_from_endpoints(
+                        ep_new, ep_old, child, patch, 0.0, use_temporal
+                    )
+                    if_b = interface_from_endpoints(
+                        ep_new, ep_old, child, patch, 0.5, use_temporal
+                    )
+                visit(lvl + 1, 2 * t_sub, if_a)
+                visit(lvl + 1, 2 * t_sub + 1, if_b)
 
-        visit(0, t, 0.0, None, None)
+        visit(0, t, None)
         return states
 
     return coarse_step
@@ -278,15 +300,23 @@ def make_batch_runner_dense(
     return run
 
 
-def hbm_report_patches(patches: List[PatchLevel], statics: List[Dict]) -> str:
+def hbm_report_patches(
+    patches: List[PatchLevel], statics: List[Dict], precision: str = "float32"
+) -> str:
     """Per-level HBM accounting for the dense layout — the reference's VRAM
-    breakdown analogue (reference: src/diagnostics_vram.jl:17-133)."""
-    lines = ["HBM breakdown (dense patches):"]
+    breakdown analogue (reference: src/diagnostics_vram.jl:17-133).  Estimates
+    are dtype-aware (bf16 g-storage halves f) and cross-checked against the
+    device's live memory counters when available, like the reference's
+    CUDA.memory_info() comparison (reference: diagnostics_vram.jl:17)."""
+    f_bytes = 2 if storage.normalize_precision(precision) == storage.STORE_BF16 else 4
+    lines = [f"HBM breakdown (dense patches, {precision} f-storage):"]
     total = 0
     for p, st in zip(patches, statics):
         n = p.n_padded
-        state_b = n * 4 * (27 + 1 + 3)
-        field_b = n * (1 + 4 + 4)
+        state_b = n * (27 * f_bytes + 4 * (1 + 3))  # f + rho + vel
+        # static fields live twice: flat (N,) for the XLA path + 3-D copies
+        # for the Pallas chunk BlockSpecs (obstacle u8, sponge f32, wall f32)
+        field_b = 2 * n * (1 + 4 + 4)
         bz = st.get("bouzidi")
         bz_b = 0
         if bz:
@@ -304,14 +334,34 @@ def hbm_report_patches(patches: List[PatchLevel], statics: List[Dict]) -> str:
             f"({n/1e6:.2f}M padded) | state {state_b/1e6:8.1f} MB | fields "
             f"{field_b/1e6:6.1f} MB | bouzidi {bz_b/1e6:5.1f} MB"
         )
-    lines.append(f"  total: {total/1e9:.3f} GB")
+    lines.append(f"  estimated total: {total/1e9:.3f} GB")
+    try:
+        ms = jax.local_devices()[0].memory_stats()
+        if ms and "bytes_in_use" in ms:
+            live = ms["bytes_in_use"]
+            limit = ms.get("bytes_limit", 0)
+            lines.append(
+                f"  device live: {live/1e9:.3f} GB in use"
+                + (f" of {limit/1e9:.1f} GB" if limit else "")
+                + f" (estimate/live = {total/max(live,1):.2f})"
+            )
+    except Exception:
+        pass  # CPU backend / tunnel without memory_stats
     return "\n".join(lines)
 
 
-def estimate_capacity(hbm_gb: float = 16.0) -> int:
-    """Cells that fit in the given HBM, the reference's mesh-capacity planner
-    analogue (reference: src/diagnostics_vram.jl estimate_mesh_capacity).
-    State is 31 f32/cell + 9 B of static fields; XLA transients roughly double
-    the f working set during a step."""
-    bytes_per_cell = 31 * 4 + 9 + 27 * 4  # state + fields + transient f copy
+def estimate_capacity(hbm_gb: float = 0.0, precision: str = "float32") -> int:
+    """Cells that fit in the given HBM (0 = read the actual device limit),
+    the reference's mesh-capacity planner analogue (reference:
+    src/diagnostics_vram.jl estimate_mesh_capacity).  State is 27 f-entries +
+    rho + vel per cell + 18 B of static fields; the step's transients add
+    roughly one more f copy."""
+    f_bytes = 2 if storage.normalize_precision(precision) == storage.STORE_BF16 else 4
+    if hbm_gb <= 0.0:
+        try:
+            ms = jax.local_devices()[0].memory_stats()
+            hbm_gb = ms["bytes_limit"] / 1e9
+        except Exception:
+            hbm_gb = 16.0
+    bytes_per_cell = (27 * f_bytes + 16) + 18 + 27 * f_bytes
     return int(hbm_gb * 1e9 / bytes_per_cell)

@@ -123,6 +123,30 @@ def test_vtu_writer_roundtrip(tmp_path):
     assert "val" in names and "connectivity" in names
 
 
+def test_vtu_compressed_data_decodes(tmp_path):
+    """The zlib-compressed DataArray payload round-trips: UInt32[4] block
+    header base64-encoded separately from the compressed block (VTK XML
+    compressed format, the reference's WriteVTK default)."""
+    import base64
+    import struct
+    import zlib
+
+    pts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    conn = np.array([[0, 1, 2]], np.int32)
+    val = np.array([3.14, -1.0, 0.5], np.float32)[:1]
+    path = str(tmp_path / "c.vtu")
+    write_vtu(path, pts, conn, 5, {"val": val})
+    root = ET.parse(path).getroot()
+    assert root.attrib.get("compressor") == "vtkZLibDataCompressor"
+    da = [d for d in root.findall(".//DataArray") if d.attrib.get("Name") == "val"][0]
+    txt = da.text.strip()
+    nb, bs, lbs, cs = struct.unpack("<4I", base64.b64decode(txt[:24]))
+    assert nb == 1 and bs == lbs == val.nbytes
+    raw = zlib.decompress(base64.b64decode(txt[24:]))
+    assert len(raw) == bs
+    np.testing.assert_allclose(np.frombuffer(raw, np.float32), val)
+
+
 def test_flow_export_skips_refined_blocks(tmp_path):
     # two levels: coarse 1x1x1 block fully covered by 8 fine children
     coarse = _dense_geo((1, 1, 1), np.zeros((8, 8, 8), bool))
@@ -193,6 +217,24 @@ def test_flow_export_with_vorticity(tmp_path):
     root = ET.parse(path).getroot()
     names = [d.attrib.get("Name") for d in root.findall(".//DataArray")]
     assert "Vorticity" in names
+
+
+def test_vorticity_blocks_seam_free():
+    """A linear shear u_x = a*y spanning a 2x2x1 block grid has constant
+    |curl u| = a everywhere — the old intra-block-roll formulation fabricated
+    O(u) vorticity sheets at every 8-cell block face."""
+    from open_ludwig_tpu.diagnostics import vorticity_blocks_host
+    from open_ludwig_tpu.domain.builder import _dense_to_blocks
+
+    dims = (2, 2, 1)
+    X, Y, Z = 16, 16, 8
+    a = 0.01
+    vel_d = np.zeros((3, X, Y, Z), np.float32)
+    vel_d[0] = a * np.arange(Y, dtype=np.float32)[None, :, None]
+    coords = topo.blocks_from_mask(np.ones(dims, bool))
+    vel_b = np.stack([_dense_to_blocks(vel_d[c], coords) for c in range(3)])
+    w = vorticity_blocks_host(vel_b, coords, dims)
+    np.testing.assert_allclose(w, a, rtol=1e-5)
 
 
 def test_surface_loads_csv(tmp_path):

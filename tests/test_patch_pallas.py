@@ -27,7 +27,11 @@ from open_ludwig_tpu.ops.dense_step import (
     build_bouzidi_patch_plan,
     dense_stream_collide,
 )
-from open_ludwig_tpu.ops.pallas_step import make_pallas_step, prepare_pallas_statics
+from open_ludwig_tpu.ops.pallas_step import (
+    make_pallas_step,
+    prep_iface_pallas,
+    prepare_pallas_statics,
+)
 from open_ludwig_tpu.ops.stream_collide import apply_bouzidi
 from open_ludwig_tpu.scaling import compute_domain_params
 
@@ -221,11 +225,67 @@ def test_pallas_interface_interpret(rng, X):
     u, s = jnp.float32(0.04), jnp.int32(9)
     f_ref, _, _ = dsc(fj, vj, u, s, static_flat, p, iface=iface, **kw)
     pstep = make_pallas_step(p, interpret=True, **kw)
-    f_pl, _, _ = pstep(fj, vj, u, s, prepare_pallas_statics(p), iface)
+    f_pl, _, _ = pstep(fj, vj, u, s, prepare_pallas_statics(p),
+                       prep_iface_pallas(iface, p))
     X_, Y_, Z_ = p.interior
     d = np.abs(np.asarray(f_pl)[:, :X_, :Y_, :Z_]
                - np.asarray(f_ref)[:, :X_, :Y_, :Z_])
     assert d.max() < 1e-5, d.max()
+
+
+def test_pallas_g_native_matches_dense(rng):
+    """bf16 g-storage kernel in g-NATIVE mode (collide_unrolled_v2 g_shifted:
+    weight shift folded into the moment constants, no per-direction
+    decode/encode) vs the XLA dense f-space path, with interface faces, wall
+    model, sponge and inlet noise all on."""
+    from open_ludwig_tpu.ops.storage import decode_f, encode_f
+
+    X, Y, Z = 16, 8, 120
+    p = _patch((X, Y, Z), tau=0.53, lo=(10, 12, 14),
+               face_bc=[BC_INTERFACE, BC_OUTLET, BC_INTERFACE, BC_MIRROR_Y,
+                        BC_INTERFACE, BC_INTERFACE], level_id=2)
+    p.obstacle[3:5, 3:5, 50:54] = True
+    p.sponge[12:, :, :] = 0.3
+    p.wall_dist[2, 3, 49] = 1.0
+    f0 = (lat.W[:, None, None, None] * (1 + 0.05 * rng.standard_normal(
+        (27,) + p.padded))).astype(np.float32)
+    v0 = (0.02 * rng.standard_normal((3,) + p.padded)).astype(np.float32)
+    iface = {}
+    for fc in range(6):
+        if p.face_bc[fc] != BC_INTERFACE:
+            continue
+        ax = fc // 2
+        t = [a for a in range(3) if a != ax]
+        A, B = p.padded[t[0]], p.padded[t[1]]
+        iface[fc] = jnp.asarray(
+            (lat.W[:, None, None] * (1 + 0.03 * rng.standard_normal(
+                (27, A + 2, B + 2)))).astype(np.float32))
+    static_flat = {
+        "obstacle": jnp.asarray(p.obstacle.reshape(-1)),
+        "sponge": jnp.asarray(p.sponge.reshape(-1)),
+        "wall_dist": jnp.asarray(p.wall_dist.reshape(-1)),
+        "bouzidi": None,
+    }
+    kw = dict(c_wale=0.5, nu_sgs_background=5e-4, inlet_turbulence=0.02,
+              wall_model=True, sponge_blend=True)
+    fj, vj = jnp.asarray(f0), jnp.asarray(v0)
+    u, s = jnp.float32(0.04), jnp.int32(9)
+    f_ref, r_ref, _ = dense_stream_collide(fj, vj, u, s, static_flat, p, iface=iface, **kw)
+    pstep = make_pallas_step(p, interpret=True, store_bf16=True, **kw)
+    assert pstep.g_native
+    g_pl, r_pl, _ = pstep(
+        encode_f(fj, "bfloat16"), vj, u, s, prepare_pallas_statics(p),
+        prep_iface_pallas(iface, p, g_shifted=True))
+    assert g_pl.dtype == jnp.bfloat16
+    X_, Y_, Z_ = p.interior
+    f_pl = decode_f(g_pl)
+    d = np.abs(np.asarray(f_pl)[:, :X_, :Y_, :Z_]
+               - np.asarray(f_ref)[:, :X_, :Y_, :Z_])
+    # bf16 storage quantizes inputs and outputs; deviations are O(u) ~ 0.05
+    # so the tolerance is the bf16 ulp of the deviation
+    assert d.max() < 2e-3, d.max()
+    dr = np.abs(np.asarray(r_pl) - np.asarray(r_ref))[:X_, :Y_, :Z_]
+    assert dr.max() < 2e-3, dr.max()
 
 
 def test_bouzidi_pallas_matches_dense(rng):

@@ -62,6 +62,7 @@ def test_reference_case_builds(name, tmp_path):
     assert patches[-1].bouzidi.n_boundary_cells > 0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ALL_CASES)
 def test_reference_case_steps(name, tmp_path):
     """Each reference case steps a few iterations and produces finite

@@ -208,6 +208,33 @@ def test_num_levels_auto(tmp_path, mode):
     assert res.final_stats.rho_min > 0.8
 
 
+def test_stability_abort(tmp_path):
+    """stability_action: abort ends a diverged case cleanly (checkpointing
+    the last state) instead of burning the remaining wall-clock; the
+    reference only ever warns (its check_stability is dead code,
+    reference: diagnostics.jl:99-125)."""
+    import yaml
+
+    d = str(tmp_path)
+    make_case_sphere(
+        d, "1M", surface_resolution=10, num_levels=1, steps=200, ramp_steps=2,
+        output_freq=1000, diag_freq=5, wake_enabled=False,
+        boundary_method="bounce_back", wall_model=False,
+    )
+    cfgd = yaml.safe_load(open(os.path.join(d, "config.yaml")))
+    # deliberately unstable: Ma ~ 0.7 lattice velocity with no ramp
+    cfgd["advanced"]["numerics"]["u_lattice"] = 0.4
+    cfgd["advanced"].setdefault("diagnostics", {})["stability_action"] = "abort"
+    yaml.safe_dump(cfgd, open(os.path.join(d, "config.yaml"), "w"))
+    cfg = load_case_config(d)
+    assert cfg.stability_action == "abort"
+    with pytest.raises(RuntimeError, match="diverged"):
+        solve_case(cfg)
+    # the abort path checkpoints the last state before raising
+    ckpts = os.listdir(os.path.join(cfg.output_path, "checkpoints"))
+    assert len(ckpts) == 1
+
+
 def test_wing_case_smoke(tmp_path):
     from open_ludwig_tpu.cases import make_case_wing
 

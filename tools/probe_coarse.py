@@ -1,0 +1,94 @@
+"""Production-path coarse-step timing: the real batch runner (statics as
+donated jit args) vs the same runner with frozen interface planes, isolating
+the interface-pipeline cost on the bench configuration.
+
+Usage: python tools/probe_coarse.py [--res 25] [--levels 3] [--n 200] [--iface real,frozen]
+"""
+
+import argparse
+import sys
+import tempfile
+import time
+from functools import partial
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--levels", type=int, default=3)
+    ap.add_argument("--res", type=int, default=25)
+    ap.add_argument("--n", type=int, default=200)
+    ap.add_argument("--precision", type=str, default="bfloat16")
+    ap.add_argument("--iface", type=str, default="real,frozen")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from open_ludwig_tpu.jax_setup import setup_jax_cache
+
+    setup_jax_cache()
+
+    from open_ludwig_tpu.cases import make_case_sphere
+    from open_ludwig_tpu.config import load_case_config
+    from open_ludwig_tpu.core.patch import build_patches
+    from open_ludwig_tpu.geometry import load_mesh
+    from open_ludwig_tpu.scaling import compute_domain_params
+    from open_ludwig_tpu.solver_dense import (
+        build_patch_statics,
+        init_patch_state,
+        make_coarse_step_dense,
+        statics_arg_arrays,
+    )
+
+    print(f"device: {jax.devices()[0]}", flush=True)
+    tmp = tempfile.mkdtemp()
+    make_case_sphere(
+        tmp, "1M", surface_resolution=args.res, num_levels=args.levels,
+        steps=400, ramp_steps=200, output_freq=100000, diag_freq=100000,
+        wake_enabled=True, precision=args.precision,
+    )
+    cfg = load_case_config(tmp)
+    mesh = load_mesh(cfg.stl_path, scale=cfg.stl_scale)
+    params = compute_domain_params(cfg, mesh.min_bounds, mesh.max_bounds)
+    levels = build_patches(cfg, mesh, params)
+    statics = build_patch_statics(cfg, levels)
+    arrs = statics_arg_arrays(statics)
+    upd = sum(p.n_cells * 2 ** (p.level_id - 1) for p in levels)
+    print(f"updates/coarse: {upd/1e6:.2f}M", flush=True)
+
+    for mode in args.iface.split(","):
+        coarse = make_coarse_step_dense(
+            cfg, params, levels, statics, _iface_mode=mode
+        )
+
+        @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+        def run(states, arrs_, t0, n, _co=coarse):
+            def body(c, t):
+                return _co(list(c), t, arrs_), None
+
+            out, _ = jax.lax.scan(
+                body, states, t0 + jnp.arange(n, dtype=jnp.int32)
+            )
+            return out
+
+        states = [init_patch_state(p, cfg.precision) for p in levels]
+        t0 = time.perf_counter()
+        states = run(states, arrs, np.int32(1), args.n)
+        jax.block_until_ready(states[0]["rho"])
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        states = run(states, arrs, np.int32(args.n + 1), args.n)
+        jax.block_until_ready(states[0]["rho"])
+        dt = (time.perf_counter() - t0) / args.n
+        print(
+            f"coarse[{args.precision:9s} iface={mode:6s}] {dt*1e6:9.1f} us "
+            f"| {upd/dt/1e6:7.0f} MLUPS (compile {compile_s:.1f}s)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
