@@ -43,6 +43,7 @@ from .storage import decode_f
 
 _C = jnp.asarray(lat.C)
 _W = jnp.asarray(lat.W)
+_HI = jax.lax.Precision.HIGHEST
 
 
 def _upsample_axis(slab: jnp.ndarray, axis: int, g_start: int, length: int):
@@ -296,6 +297,342 @@ def interface_planes_pair(
             # x-rows lead for the kernel's per-chunk BlockSpec windows
             plane = jnp.transpose(plane, (0, 2, 1, 3))
         out[face] = plane
+    return out
+
+
+def _upsample_matrix(a_len: int, g_start: int, length: int) -> np.ndarray:
+    """(length, a_len) matrix M with M @ slab == _upsample_axis(slab, ...,
+    g_start, length): fine cell g interpolates parent (g//2 - 1, g//2) with
+    weight 0.25 (g even) / 0.75 (g odd) on the upper corner; slab column 0 is
+    parent cell g_start//2 - 1."""
+    M = np.zeros((length, a_len), np.float32)
+    j0 = g_start // 2 - 1
+    for i in range(length):
+        g = g_start + i
+        jlo = g // 2 - 1 - j0
+        w_hi = 0.25 + 0.5 * (g % 2)
+        M[i, jlo] += 1.0 - w_hi
+        M[i, jlo + 1] += w_hi
+    return M
+
+
+def _slab_geom(face: int, patch: PatchLevel, parent: PatchLevel) -> Dict:
+    """Static slice/pad geometry for one interface face's parent slab (the
+    same index math as interface_endpoints' slab closure)."""
+    axis = face // 2
+    side = face % 2
+    t_axes = [ax for ax in range(3) if ax != axis]
+    A, B = patch.padded[t_axes[0]], patch.padded[t_axes[1]]
+    g_face = (
+        patch.lo[axis] - 1 if side == 0
+        else patch.lo[axis] + patch.interior[axis]
+    )
+    p0 = g_face // 2 - 1
+    gA0 = patch.lo[t_axes[0]] - 1
+    gB0 = patch.lo[t_axes[1]] - 1
+    rng = {}
+    pads = {}
+    for ax in range(3):
+        if ax == axis:
+            lo_l = p0 - parent.lo[ax]
+            want = (lo_l, lo_l + 2)
+        else:
+            g0 = gA0 if ax == t_axes[0] else gB0
+            ln = A + 2 if ax == t_axes[0] else B + 2
+            j0 = g0 // 2 - 1
+            j1 = (g0 + ln - 1) // 2
+            want = (j0 - parent.lo[ax], j1 - parent.lo[ax] + 1)
+        hi_cap = parent.padded[ax]
+        got = (max(want[0], 0), min(want[1], hi_cap))
+        assert got[1] > got[0], (face, ax, want, hi_cap)
+        rng[ax] = got
+        pads[ax] = (got[0] - want[0], want[1] - got[1])
+    return {
+        "axis": axis,
+        "t_axes": t_axes,
+        "A": A,
+        "B": B,
+        "gA0": gA0,
+        "gB0": gB0,
+        "w_face": 0.25 + 0.5 * (g_face % 2),
+        "rng": rng,
+        "pads": pads,
+    }
+
+
+def _clamped_matrix_cols(
+    weights_by_parent: list, start: int, width: int, lo_cap: int, hi_cap: int
+) -> np.ndarray:
+    """Rows of (row, [(parent_cell, weight), ...]) -> (n_rows, width) matrix
+    over slab columns [start, start+width), with parent cells outside
+    [lo_cap, hi_cap) clamped to the nearest in-range cell (the edge-pad
+    semantics of the reference slab extraction)."""
+    M = np.zeros((len(weights_by_parent), width), np.float32)
+    for i, pairs in enumerate(weights_by_parent):
+        for cell, wt in pairs:
+            cell = min(max(cell, lo_cap), hi_cap - 1)
+            M[i, cell - start] += wt
+    return M
+
+
+def build_iface_mm_plan(patch: PatchLevel, parent: PatchLevel) -> Optional[Dict]:
+    """Static plan for interface_planes_pair_mm: per interface-face axis
+    group, tile-aligned parent slab slices plus fused linear operators.
+
+    The face-normal endpoint lerp, the trilinear 2x upsampling (parity-biased
+    corner rule), the edge-pad clamping, and the per-direction (1 - c) window
+    shifts of _shift_planes are ALL linear maps along single axes, so they
+    compose into three small matrices per axis group: UN (nf, wn) for the
+    normal lerp, UA3 (3, A, wa) / UB3 (3, B, wb) for upsample+shift per
+    transverse window class.  One einsum against these then replaces the
+    whole per-face slice/pad/transpose/upsample/shift op chain (hundreds of
+    sub-us XLA dispatches + full-array layout copies per coarse step — the
+    measured interface bottleneck).  Slab slices are tile-aligned (y to the
+    8-sublane, z to the 128-lane) and kept in natural (x, y, z) axis order so
+    no slice forces a relayout; the alignment offsets are baked into the
+    matrix columns (reference math: src/physics_interpolation.jl:16-138)."""
+    need = [f for f in range(6) if patch.face_bc[f] == BC_INTERFACE]
+    if not need:
+        return None
+    PXS, PYS, PZS = parent.padded
+    caps = (PXS, PYS, PZS)
+    align = (1, 8, 128)
+
+    def wide_range(want_lo: int, want_hi: int, ax: int, width: Optional[int] = None):
+        """Aligned slice [start, start+width) covering want ∩ [0, cap)."""
+        cap, al = caps[ax], align[ax]
+        lo = max(want_lo, 0)
+        hi = min(want_hi, cap)
+        start = (lo // al) * al
+        w = -(-(hi - start) // al) * al
+        if width is not None:
+            w = max(w, width)
+        w = min(w, ((cap // al) * al) or cap)
+        start = min(start, cap - w)
+        return start, w
+
+    groups = []
+    for ax in range(3):
+        faces = [f for f in need if f // 2 == ax]
+        if not faces:
+            continue
+        geoms = [_slab_geom(f, patch, parent) for f in faces]
+        g0 = geoms[0]
+        t0, t1 = g0["t_axes"]
+        A, B = g0["A"], g0["B"]
+
+        # transverse wants are identical for both faces of the axis
+        def t_want(t_ax, g_t0, ln):
+            j0 = g_t0 // 2 - 1
+            j1 = (g_t0 + ln - 1) // 2
+            return j0, j1 + 1
+
+        wA = t_want(t0, g0["gA0"], A + 2)
+        wB = t_want(t1, g0["gB0"], B + 2)
+        sA, wa = wide_range(wA[0], wA[1], t0)
+        sB, wb = wide_range(wB[0], wB[1], t1)
+        # normal ranges differ per face; use one common width
+        n_wants = []
+        for g in geoms:
+            lo_l = g["rng"][ax][0] - g["pads"][ax][0]
+            n_wants.append((lo_l, lo_l + 2))
+        n_ranges = [wide_range(w0, w1, ax) for (w0, w1) in n_wants]
+        wn = max(r[1] for r in n_ranges)
+        n_ranges = [wide_range(w0, w1, ax, width=wn) for (w0, w1) in n_wants]
+
+        # UN: per face, the (1-w, w) endpoint lerp over the wide normal slab
+        UN = np.zeros((len(faces), wn), np.float32)
+        for i, (g, (w0, w1), (st, _)) in enumerate(zip(geoms, n_wants, n_ranges)):
+            row = _clamped_matrix_cols(
+                [[(w0, 1.0 - g["w_face"]), (w0 + 1, g["w_face"])]],
+                st, wn, 0, caps[ax],
+            )
+            UN[i] = row[0]
+
+        # UA/UB: upsample (parity corner rule) x shift-window classes, with
+        # edge-pad clamping to the original want range baked into the columns
+        def u_class(g_t0, ln_out, t_ax, want, start, width):
+            rows = []
+            for i in range(ln_out):
+                g = g_t0 + i
+                jlo = g // 2 - 1
+                w_hi = 0.25 + 0.5 * (g % 2)
+                rows.append([(jlo, 1.0 - w_hi), (jlo + 1, w_hi)])
+            # clamp to the CLIPPED want range (edge-pad replicates its ends)
+            lo_cap = max(want[0], 0)
+            hi_cap = min(want[1], caps[t_ax])
+            Mfull = _clamped_matrix_cols(rows, start, width, lo_cap, hi_cap)
+            ln_win = ln_out - 2
+            return np.stack([Mfull[2 - ci : 2 - ci + ln_win] for ci in range(3)])
+
+        UA3 = u_class(g0["gA0"], A + 2, t0, wA, sA, wa)
+        UB3 = u_class(g0["gB0"], B + 2, t1, wB, sB, wb)
+
+        slices = []  # per-face (start_x, start_y, start_z) + common sizes
+        for (st, _w) in n_ranges:
+            s3 = [0, 0, 0]
+            s3[ax] = st
+            s3[t0] = sA
+            s3[t1] = sB
+            slices.append(tuple(s3))
+        size3 = [0, 0, 0]
+        size3[ax] = wn
+        size3[t0] = wa
+        size3[t1] = wb
+        groups.append(
+            {
+                "axis": ax,
+                "faces": faces,
+                "A": A,
+                "B": B,
+                "starts": slices,
+                "sizes": tuple(size3),
+                "UN": jnp.asarray(UN),
+                "UA3": jnp.asarray(UA3),
+                "UB3": jnp.asarray(UB3),
+            }
+        )
+    return {"groups": groups}
+
+
+# Einsum per face axis: f = face, n = temporal weight, (z, y, x) = direction
+# classes of the k -> (cz, cy, cx) reshape, N = slab normal, (a, b) = slab
+# transverse, (A, B) = output plane.  The output dim order is chosen so y/z
+# faces come out x-rows-leading directly (no post-transpose); the UN lerp
+# contracts jointly with the upsample+shift matrices.
+_MM_EINSUM_F = {
+    0: "fN,yAa,zBb,fnzyxNab->fnzyxAB",  # x faces: A-class=cy, B-class=cz
+    1: "fN,xAa,zBb,fnzyxaNb->fnAzyxB",  # y faces: A-class=cx, B-class=cz
+    2: "fN,xAa,yBb,fnzyxabN->fnAzyxB",  # z faces: A-class=cx, B-class=cy
+}
+_MM_EINSUM_S = {  # vel+rho component stack (t): c = A-class, d = B-class
+    0: "fN,cAa,dBb,fntNab->fntcdAB",
+    1: "fN,cAa,dBb,fntaNb->fntcdAB",
+    2: "fN,cAa,dBb,fntabN->fntcdAB",
+}
+
+
+def interface_planes_pair_mm(
+    plan: Dict,
+    patch: PatchLevel,
+    parent: PatchLevel,
+    p_old: Optional[Dict],
+    p_new: Dict,
+    use_temporal: bool,
+    g_shifted: bool = False,
+) -> Dict[int, jnp.ndarray]:
+    """interface_planes_pair computed via the precomputed linear operators of
+    build_iface_mm_plan — identical math (endpoint slabs -> temporal blend ->
+    trilinear upsample -> feq + f_neq rescale -> per-direction shift), with
+    all the linear stages collapsed into one einsum per field and the whole
+    nonlinear tail a single fusable elementwise DAG per axis group.  Output
+    layout matches interface_planes_pair: face -> (n_w, 27, A, B) for x
+    faces, x-rows leading (n_w, A, 27, B) for y/z faces."""
+    tau_c = parent.tau - 0.5
+    tau_f = patch.tau - 0.5
+    scale = float(np.clip(tau_f / tau_c, 0.01, 100.0)) if tau_c > 1e-6 else 1.0
+    blend = use_temporal and p_old is not None
+    states = [p_old, p_new] if blend else [p_new]
+    cv = jnp.asarray(np.array([-1.0, 0.0, 1.0], np.float32))
+    out = {}
+    for grp in plan["groups"]:
+        ax = grp["axis"]
+        nf = len(grp["faces"])
+        sz = grp["sizes"]
+
+        def slab(key, lead):
+            per_face = []
+            for st3 in grp["starts"]:
+                per_state = [
+                    jax.lax.dynamic_slice(
+                        st[key],
+                        (0,) * lead + st3,
+                        st[key].shape[:lead] + sz,
+                    )
+                    for st in states
+                ]
+                per_face.append(
+                    per_state[0][None] if len(per_state) == 1
+                    else jnp.stack(per_state)
+                )
+            sl = jnp.stack(per_face)  # (nf, ns, [lead,] wx, wy, wz)
+            if blend:
+                # temporal weights (0.0, 0.5) in compact slab space (the
+                # blend commutes with every linear operator downstream)
+                sl = jnp.stack(
+                    [sl[:, 0], 0.5 * (sl[:, 0] + sl[:, 1])], axis=1
+                )
+            return sl
+
+        f_sl = decode_f(slab("f", 1), k_axis=2)  # (nf, nw, 27, wx, wy, wz)
+        r_sl = slab("rho", 0)  # (nf, nw, wx, wy, wz)
+        v_sl = slab("vel", 1)  # (nf, nw, 3, wx, wy, wz)
+        nw = f_sl.shape[1]
+        A, B = grp["A"], grp["B"]
+        UN, UA3, UB3 = grp["UN"], grp["UA3"], grp["UB3"]
+
+        f_up = jnp.einsum(
+            _MM_EINSUM_F[ax],
+            UN, UA3, UB3,
+            f_sl.reshape((nf, nw, 3, 3, 3) + sz),
+            precision=_HI,
+        )
+        # vel einsum carries the component axis so rho can ride the same
+        # contraction: stack rho under vel as a 4th "component"
+        rv = jnp.concatenate([v_sl, r_sl[:, :, None]], axis=2)
+        rv_w = jnp.einsum(
+            _MM_EINSUM_S[ax], UN, UA3, UB3, rv, precision=_HI,
+        )  # (nf, nw, 4, c, d, A, B)
+
+        # arrange the windowed fields onto the direction-class axes; for y/z
+        # faces the plane A axis LEADS the classes (x-rows-first output)
+        if ax == 0:
+            # target (nf, nw, z, y, x, A, B): c = cy, d = cz
+            def arrange(x):  # (nf, nw, c, d, A, B)
+                return jnp.swapaxes(x, 2, 3)[:, :, :, :, None]
+
+            cx_b = cv[None, None, None, None, :, None, None]
+            cy_b = cv[None, None, None, :, None, None, None]
+            cz_b = cv[None, None, :, None, None, None, None]
+            W_b = jnp.asarray(lat.W.reshape(3, 3, 3))[
+                None, None, :, :, :, None, None
+            ]
+        else:
+            # target (nf, nw, A, z, y, x, B)
+            if ax == 1:  # c = cx, d = cz
+                def arrange(x):
+                    # (nf, nw, c, d, A, B) -> (nf, nw, A, d, 1, c, B)
+                    return jnp.transpose(x, (0, 1, 4, 3, 2, 5))[
+                        :, :, :, :, None
+                    ]
+            else:  # c = cx, d = cy
+                def arrange(x):
+                    # -> (nf, nw, A, 1, d, c, B)
+                    return jnp.transpose(x, (0, 1, 4, 3, 2, 5))[
+                        :, :, :, None
+                    ]
+
+            cx_b = cv[None, None, None, None, None, :, None]
+            cy_b = cv[None, None, None, None, :, None, None]
+            cz_b = cv[None, None, None, :, None, None, None]
+            W_b = jnp.asarray(lat.W.reshape(3, 3, 3))[
+                None, None, None, :, :, :, None
+            ]
+
+        ub = [arrange(rv_w[:, :, t]) for t in range(3)]
+        rho_b = arrange(rv_w[:, :, 3])
+        cu = cx_b * ub[0] + cy_b * ub[1] + cz_b * ub[2]
+        usq = ub[0] * ub[0] + ub[1] * ub[1] + ub[2] * ub[2]
+        feq = rho_b * W_b * (1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * usq)
+        plane = feq + (f_up - feq) * jnp.float32(scale)
+        if g_shifted:
+            plane = plane - W_b
+        if ax == 0:
+            plane = plane.reshape(nf, nw, 27, A, B)
+        else:
+            plane = plane.reshape(nf, nw, A, 27, B)
+        for i, face in enumerate(grp["faces"]):
+            out[face] = plane[i]
     return out
 
 

@@ -163,3 +163,57 @@ def test_interface_plane_linear_field():
     rho_expect = (1.0 + 0.01 * 4) * 0.25 + (1.0 + 0.01 * 5) * 0.75
     # rest-direction k=13: value = W13 * rho (f = W*rho is equilibrium at u=0)
     assert pl[13, 1, 1] == pytest.approx(lat.W64[13] * rho_expect, rel=1e-5)
+
+
+@pytest.mark.parametrize("use_temporal", [True, False])
+@pytest.mark.parametrize("g_shifted", [True, False])
+def test_interface_planes_pair_mm_parity(rng, use_temporal, g_shifted):
+    """The einsum-operator interface pipeline (interface_planes_pair_mm) must
+    match the slice/upsample/shift pipeline bit-closely on random states."""
+    from open_ludwig_tpu.ops.dense_step import (
+        build_iface_mm_plan,
+        interface_endpoints,
+        interface_endpoints_pair,
+        interface_planes_pair,
+        interface_planes_pair_mm,
+    )
+
+    parent = _patch((20, 16, 16), tau=0.58, level_id=1)
+    child = _patch((14, 12, 12), tau=0.54, lo=(10, 8, 8),
+                   face_bc=[BC_INTERFACE] * 6, level_id=2, dx=0.5)
+
+    def rand_state():
+        return {
+            "f": jnp.asarray(
+                lat.W[:, None, None, None]
+                * (1.0 + 0.05 * rng.standard_normal((27,) + parent.padded))
+            ).astype(jnp.float32),
+            "rho": jnp.asarray(
+                1.0 + 0.02 * rng.standard_normal(parent.padded)
+            ).astype(jnp.float32),
+            "vel": jnp.asarray(
+                0.03 * rng.standard_normal((3,) + parent.padded)
+            ).astype(jnp.float32),
+        }
+
+    st_old, st_new = rand_state(), rand_state()
+    if use_temporal:
+        ep_old, ep_new = interface_endpoints_pair(child, parent, st_old, st_new)
+    else:
+        ep_old, ep_new = None, interface_endpoints(child, parent, st_new)
+    want = interface_planes_pair(
+        ep_new, ep_old, child, parent, use_temporal, g_shifted=g_shifted
+    )
+
+    plan = build_iface_mm_plan(child, parent)
+    got = interface_planes_pair_mm(
+        plan, child, parent, st_old if use_temporal else None, st_new,
+        use_temporal, g_shifted=g_shifted,
+    )
+    assert set(got) == set(want)
+    for face in want:
+        a, b = np.asarray(want[face]), np.asarray(got[face])
+        assert a.shape == b.shape, (face, a.shape, b.shape)
+        assert np.allclose(a, b, atol=2e-6), (
+            face, np.abs(a - b).max()
+        )
