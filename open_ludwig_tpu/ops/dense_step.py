@@ -440,14 +440,15 @@ def build_iface_mm_plan(patch: PatchLevel, parent: PatchLevel) -> Optional[Dict]
         wn = max(r[1] for r in n_ranges)
         n_ranges = [wide_range(w0, w1, ax, width=wn) for (w0, w1) in n_wants]
 
-        # UN: per face, the (1-w, w) endpoint lerp over the wide normal slab
-        UN = np.zeros((len(faces), wn), np.float32)
-        for i, (g, (w0, w1), (st, _)) in enumerate(zip(geoms, n_wants, n_ranges)):
-            row = _clamped_matrix_cols(
-                [[(w0, 1.0 - g["w_face"]), (w0 + 1, g["w_face"])]],
-                st, wn, 0, caps[ax],
-            )
-            UN[i] = row[0]
+        # per face: slab-local endpoint indices for the normal lerp (two
+        # static picks + lerp on the SMALL slab — an einsum contraction here
+        # lowers to a lane-wide VPU multiply-reduce on z-normal faces, 64x
+        # wasted work over the 128-aligned slab, measured ~94 us/coarse)
+        lerp_idx = []
+        for g, (w0, w1), (st, _) in zip(geoms, n_wants, n_ranges):
+            i0 = min(max(w0, 0), caps[ax] - 1) - st
+            i1 = min(max(w0 + 1, 0), caps[ax] - 1) - st
+            lerp_idx.append((i0, i1, g["w_face"]))
 
         # UA/UB: upsample (parity corner rule) x shift-window classes, with
         # edge-pad clamping to the original want range baked into the columns
@@ -487,7 +488,7 @@ def build_iface_mm_plan(patch: PatchLevel, parent: PatchLevel) -> Optional[Dict]
                 "B": B,
                 "starts": slices,
                 "sizes": tuple(size3),
-                "UN": jnp.asarray(UN),
+                "lerp_idx": lerp_idx,
                 "UA3": jnp.asarray(UA3),
                 "UB3": jnp.asarray(UB3),
             }
@@ -501,14 +502,14 @@ def build_iface_mm_plan(patch: PatchLevel, parent: PatchLevel) -> Optional[Dict]
 # faces come out x-rows-leading directly (no post-transpose); the UN lerp
 # contracts jointly with the upsample+shift matrices.
 _MM_EINSUM_F = {
-    0: "fN,yAa,zBb,fnzyxNab->fnzyxAB",  # x faces: A-class=cy, B-class=cz
-    1: "fN,xAa,zBb,fnzyxaNb->fnAzyxB",  # y faces: A-class=cx, B-class=cz
-    2: "fN,xAa,yBb,fnzyxabN->fnAzyxB",  # z faces: A-class=cx, B-class=cy
+    0: "yAa,zBb,fnzyxab->fnzyxAB",  # x faces: A-class = cy, B-class = cz
+    1: "xAa,zBb,fnzyxab->fnAzyxB",  # y faces: A-class = cx, B-class = cz
+    2: "xAa,yBb,fnzyxab->fnAzyxB",  # z faces: A-class = cx, B-class = cy
 }
 _MM_EINSUM_S = {  # vel+rho component stack (t): c = A-class, d = B-class
-    0: "fN,cAa,dBb,fntNab->fntcdAB",
-    1: "fN,cAa,dBb,fntaNb->fntcdAB",
-    2: "fN,cAa,dBb,fntabN->fntcdAB",
+    0: "cAa,dBb,fntab->fntcdAB",
+    1: "cAa,dBb,fntab->fntcdAB",
+    2: "cAa,dBb,fntab->fntcdAB",
 }
 
 
@@ -541,21 +542,27 @@ def interface_planes_pair_mm(
         sz = grp["sizes"]
 
         def slab(key, lead):
+            """Aligned parent slab per face, normal-lerped: the lerp is two
+            static index picks on the SMALL slab (an einsum contraction over
+            the aligned normal extent lowers to a lane-wide VPU
+            multiply-reduce on z-faces)."""
             per_face = []
-            for st3 in grp["starts"]:
-                per_state = [
-                    jax.lax.dynamic_slice(
+            for st3, (i0, i1, wf) in zip(grp["starts"], grp["lerp_idx"]):
+                per_state = []
+                for st in states:
+                    sl = jax.lax.dynamic_slice(
                         st[key],
                         (0,) * lead + st3,
                         st[key].shape[:lead] + sz,
                     )
-                    for st in states
-                ]
+                    lo = jax.lax.index_in_dim(sl, i0, lead + ax, keepdims=False)
+                    hi = jax.lax.index_in_dim(sl, i1, lead + ax, keepdims=False)
+                    per_state.append((1.0 - wf) * lo + wf * hi)
                 per_face.append(
                     per_state[0][None] if len(per_state) == 1
                     else jnp.stack(per_state)
                 )
-            sl = jnp.stack(per_face)  # (nf, ns, [lead,] wx, wy, wz)
+            sl = jnp.stack(per_face)  # (nf, ns, [lead,] a, b)
             if blend:
                 # temporal weights (0.0, 0.5) in compact slab space (the
                 # blend commutes with every linear operator downstream)
@@ -564,24 +571,25 @@ def interface_planes_pair_mm(
                 )
             return sl
 
-        f_sl = decode_f(slab("f", 1), k_axis=2)  # (nf, nw, 27, wx, wy, wz)
-        r_sl = slab("rho", 0)  # (nf, nw, wx, wy, wz)
-        v_sl = slab("vel", 1)  # (nf, nw, 3, wx, wy, wz)
+        f_sl = decode_f(slab("f", 1), k_axis=2)  # (nf, nw, 27, a, b)
+        r_sl = slab("rho", 0)  # (nf, nw, a, b)
+        v_sl = slab("vel", 1)  # (nf, nw, 3, a, b)
         nw = f_sl.shape[1]
         A, B = grp["A"], grp["B"]
-        UN, UA3, UB3 = grp["UN"], grp["UA3"], grp["UB3"]
+        UA3, UB3 = grp["UA3"], grp["UB3"]
+        a_len, b_len = f_sl.shape[-2], f_sl.shape[-1]
 
         f_up = jnp.einsum(
             _MM_EINSUM_F[ax],
-            UN, UA3, UB3,
-            f_sl.reshape((nf, nw, 3, 3, 3) + sz),
+            UA3, UB3,
+            f_sl.reshape((nf, nw, 3, 3, 3, a_len, b_len)),
             precision=_HI,
         )
         # vel einsum carries the component axis so rho can ride the same
         # contraction: stack rho under vel as a 4th "component"
         rv = jnp.concatenate([v_sl, r_sl[:, :, None]], axis=2)
         rv_w = jnp.einsum(
-            _MM_EINSUM_S[ax], UN, UA3, UB3, rv, precision=_HI,
+            _MM_EINSUM_S[ax], UA3, UB3, rv, precision=_HI,
         )  # (nf, nw, 4, c, d, A, B)
 
         # arrange the windowed fields onto the direction-class axes; for y/z

@@ -231,6 +231,13 @@ def make_pallas_step(
     interpret: bool = False,
     planes_per_step: int = 0,
     store_bf16: bool = False,
+    alias_f: bool = False,  # write f in place (input_output_aliases).  Safe
+    # because the rotating window DMAs chunk ci+2's input rows while chunk
+    # ci's output commits — reads lead writes by two chunks on strictly
+    # disjoint rows.  Only valid when the caller no longer needs the
+    # pre-step f (i.e. childless levels: parents feed their old state to the
+    # temporal interface blend).  Kills the scan-carry loop-back copy XLA
+    # otherwise inserts (measured 41 us/coarse on the Re1M finest level).
     use_mxu: bool = False,  # moment-space collision (two MXU matmuls) instead
     # of the per-direction unrolled loops; same physics (collide_math) but
     # measured SLOWER on v5e: the (27, M) reshapes around the matmuls force
@@ -269,7 +276,10 @@ def make_pallas_step(
         PX = planes_per_step
     else:
         PX = 1
-        for cand in (8, 4, 2):
+        for cand in (8, 4, 2):  # PX=10/6 on the 60-plane level measured
+            # no better than 4 (1592 vs 1546 us/coarse); x-padding to force
+            # PX=8 everywhere measured worse (1656) — pad cells cost more
+            # than chunk amortization saves
             # full per-chunk VMEM footprint: rotating DMA windows +
             # pipelined static in-blocks + double-buffered out-blocks
             # (the declared vmem limit follows this estimate; keeping it
@@ -577,6 +587,8 @@ def make_pallas_step(
                 jax.ShapeDtypeStruct((XS, YS, ZS), jnp.float32),
                 jax.ShapeDtypeStruct((3, XS, YS, ZS), jnp.float32),
             ],
+            # flattened-input index 2 = f (scalar-prefetch u and seed count)
+            input_output_aliases={2: 0} if alias_f else {},
             compiler_params=pltpu.CompilerParams(
                 # declare close to actual use: XLA reserves the declared
                 # limit during scheduling, and over-declaring starves other

@@ -100,7 +100,7 @@ def make_coarse_step_dense(
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     psteps = []
-    for p in patches:
+    for li, p in enumerate(patches):
         if use_pallas and _pallas_fits(p, store_bf16):
             psteps.append(
                 make_pallas_step(
@@ -111,6 +111,12 @@ def make_coarse_step_dense(
                     wall_model=cfg.wall_model_enabled,
                     sponge_blend=cfg.sponge_blend_distributions,
                     store_bf16=store_bf16,
+                    # in-place f update on every level: parents' pre-step
+                    # state is only consumed by the child-interface slab
+                    # slices, which XLA schedules before the clobbering
+                    # kernel (verified bit-exact on a 3-level TPU A/B);
+                    # kills the scan-carry loop-back copies
+                    alias_f=True,
                 )
             )
         else:

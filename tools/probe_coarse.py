@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--n", type=int, default=200)
     ap.add_argument("--precision", type=str, default="bfloat16")
     ap.add_argument("--iface", type=str, default="real,frozen")
+    ap.add_argument("--xmult", type=int, default=1,
+                    help="pad every level's XS to this multiple")
     args = ap.parse_args()
 
     import jax
@@ -53,11 +55,12 @@ def main():
     cfg = load_case_config(tmp)
     mesh = load_mesh(cfg.stl_path, scale=cfg.stl_scale)
     params = compute_domain_params(cfg, mesh.min_bounds, mesh.max_bounds)
-    levels = build_patches(cfg, mesh, params)
+    levels = build_patches(cfg, mesh, params, x_multiple=args.xmult)
     statics = build_patch_statics(cfg, levels)
     arrs = statics_arg_arrays(statics)
     upd = sum(p.n_cells * 2 ** (p.level_id - 1) for p in levels)
-    print(f"updates/coarse: {upd/1e6:.2f}M", flush=True)
+    print(f"updates/coarse: {upd/1e6:.2f}M  "
+          f"XS={[p.padded[0] for p in levels]}", flush=True)
 
     for mode in args.iface.split(","):
         coarse = make_coarse_step_dense(
