@@ -423,8 +423,11 @@ def build_iface_mm_plan(patch: PatchLevel, parent: PatchLevel) -> Optional[Dict]
 
         # transverse wants are identical for both faces of the axis
         def t_want(t_ax, g_t0, ln):
-            j0 = g_t0 // 2 - 1
-            j1 = (g_t0 + ln - 1) // 2
+            # PARENT-LOCAL parent-cell range (subtract parent.lo: child
+            # coordinates are global at the child level, the slab slices the
+            # parent's local array)
+            j0 = g_t0 // 2 - 1 - parent.lo[t_ax]
+            j1 = (g_t0 + ln - 1) // 2 - parent.lo[t_ax]
             return j0, j1 + 1
 
         wA = t_want(t0, g0["gA0"], A + 2)
@@ -456,7 +459,7 @@ def build_iface_mm_plan(patch: PatchLevel, parent: PatchLevel) -> Optional[Dict]
             rows = []
             for i in range(ln_out):
                 g = g_t0 + i
-                jlo = g // 2 - 1
+                jlo = g // 2 - 1 - parent.lo[t_ax]  # parent-LOCAL cell
                 w_hi = 0.25 + 0.5 * (g % 2)
                 rows.append([(jlo, 1.0 - w_hi), (jlo + 1, w_hi)])
             # clamp to the CLIPPED want range (edge-pad replicates its ends)
@@ -521,6 +524,7 @@ def interface_planes_pair_mm(
     p_new: Dict,
     use_temporal: bool,
     g_shifted: bool = False,
+    out_dtype=jnp.float32,
 ) -> Dict[int, jnp.ndarray]:
     """interface_planes_pair computed via the precomputed linear operators of
     build_iface_mm_plan — identical math (endpoint slabs -> temporal blend ->
@@ -541,11 +545,14 @@ def interface_planes_pair_mm(
         nf = len(grp["faces"])
         sz = grp["sizes"]
 
-        def slab(key, lead):
+        def slab(key, lead, dec=False):
             """Aligned parent slab per face, normal-lerped: the lerp is two
             static index picks on the SMALL slab (an einsum contraction over
             the aligned normal extent lowers to a lane-wide VPU
-            multiply-reduce on z-faces)."""
+            multiply-reduce on z-faces; a pre-lerp 2-lane slice+moveaxis of
+            the z-normal picks measured 1547 -> 2586 us/coarse — the
+            degenerate-layout pick+lerp IS the fastest formulation XLA
+            accepts here)."""
             per_face = []
             for st3, (i0, i1, wf) in zip(grp["starts"], grp["lerp_idx"]):
                 per_state = []
@@ -635,6 +642,7 @@ def interface_planes_pair_mm(
         plane = feq + (f_up - feq) * jnp.float32(scale)
         if g_shifted:
             plane = plane - W_b
+        plane = plane.astype(out_dtype)
         if ax == 0:
             plane = plane.reshape(nf, nw, 27, A, B)
         else:

@@ -238,6 +238,13 @@ def make_pallas_step(
     # pre-step f (i.e. childless levels: parents feed their old state to the
     # temporal interface blend).  Kills the scan-carry loop-back copy XLA
     # otherwise inserts (measured 41 us/coarse on the Re1M finest level).
+    shard_nx: int = 1,  # build the kernel for one x-slab shard of a
+    # shard_map over an ("x",)-mesh of this size: the kernel sees the LOCAL
+    # (XS/shard_nx, YS, ZS) slab, takes the ppermute'd neighbor edge planes
+    # as extra VMEM inputs (consumed where the rotating window would wrap at
+    # the slab ends), and keys every boundary-condition mask on the GLOBAL
+    # x coordinate via an x-offset scalar (multi-chip per SURVEY.md §2.6:
+    # halo exchange over ICI instead of the reference's single-GPU design)
     use_mxu: bool = False,  # moment-space collision (two MXU matmuls) instead
     # of the per-direction unrolled loops; same physics (collide_math) but
     # measured SLOWER on v5e: the (27, M) reshapes around the matmuls force
@@ -249,6 +256,9 @@ def make_pallas_step(
     XS, YS, ZS = patch.padded
     X, Y, Z = patch.interior
     fb = patch.face_bc
+    sharded = shard_nx > 1
+    assert XS % shard_nx == 0, (XS, shard_nx)
+    XL = XS // shard_nx  # local slab x-extent (== XS unsharded)
     # bf16 storage holds g = f - w (ops.storage).  The kernel works in
     # g-space NATIVELY (collide_unrolled_v2 g_shifted folds the weight shift
     # into five moment constants), so dec/enc are bare dtype casts — the 54
@@ -291,31 +301,40 @@ def make_pallas_step(
                 + 2 * 9 * plane_c
                 + 2 * (27 * f_bytes + 4 + 3 * 4) * plane_c
             )
-            if XS % cand == 0 and est_c < 36 * 2**20:
+            if XL % cand == 0 and est_c < 36 * 2**20:
                 PX = cand
                 break
-    assert XS % PX == 0, (XS, PX)
-    NCH = XS // PX
+    assert XL % PX == 0, (XL, PX)
+    NCH = XL // PX
 
     need_iface = tuple(fc for fc in range(6) if fb[fc] == BC_INTERFACE)
 
     def kernel(
-        u_ref, seed_ref,  # scalar prefetch (SMEM)
-        f_hbm, vel_hbm,  # ANY (manual DMA)
-        obstacle_ref, sponge_ref, wall_ref,  # (PX, YS, ZS) VMEM blocks
-        *rest,  # [mom/back mats], iface refs, outputs, scratch
+        u_ref, seed_ref, *pre_rest,  # scalar prefetch (SMEM) + the rest
     ):
+        if sharded:
+            xoff_ref, *pre_rest = pre_rest
+        f_hbm, vel_hbm = pre_rest[0], pre_rest[1]  # ANY (manual DMA)
+        # (PX, YS, ZS) VMEM blocks
+        obstacle_ref, sponge_ref, wall_ref = pre_rest[2:5]
+        rest = pre_rest[5:]
         off = 0
         if use_mxu:
             mom_ref, back_ref = rest[0], rest[1]
             off = 2
         n_if = len(need_iface)
         iface_refs = dict(zip(need_iface, rest[off : off + n_if]))
-        fout_ref, rho_ref, velout_ref = rest[off + n_if : off + n_if + 3]
-        fwin, vwin, sems = rest[off + n_if + 3 :]
+        off += n_if
+        if sharded:
+            fe_ref, ve_ref = rest[off], rest[off + 1]  # (27|3, 2, YS, ZS)
+            off += 2
+        fout_ref, rho_ref, velout_ref = rest[off : off + 3]
+        fwin, vwin, sems = rest[off + 3 :]
 
         ci = pl.program_id(0)
-        ix3 = jax.lax.broadcasted_iota(jnp.int32, (PX, YS, ZS), 0) + ci * PX
+        lix3 = jax.lax.broadcasted_iota(jnp.int32, (PX, YS, ZS), 0) + ci * PX
+        # global x for the BC masks (the shard offset is 0 unsharded)
+        ix3 = lix3 + xoff_ref[0] if sharded else lix3
         iy3 = jax.lax.broadcasted_iota(jnp.int32, (PX, YS, ZS), 1)
         iz3 = jax.lax.broadcasted_iota(jnp.int32, (PX, YS, ZS), 2)
 
@@ -388,10 +407,12 @@ def make_pallas_step(
                 # direction rows in plain k order
                 pr = iface_refs[face]
                 if face // 2 == 0:
-                    return pr[k][None, :, :]  # (1, YS, ZS), bcast over PX
+                    # upcast before the dim insert: planes may arrive bf16
+                    # and Mosaic only supports minor-dim inserts on 32-bit
+                    return pr[k].astype(jnp.float32)[None, :, :]
                 # y/z faces arrive as this chunk's (PX, 27, B) BlockSpec
                 # window — static reads only
-                rows = pr[:, k, :]  # (PX, B)
+                rows = pr[:, k, :].astype(jnp.float32)  # (PX, B)
                 if face // 2 == 1:
                     return rows[:, None, :]  # bcast over Y
                 return rows[:, :, None]  # bcast over Z
@@ -440,6 +461,16 @@ def make_pallas_step(
                 else:
                     src = f_next_ch[k]
             val = dec(_shift2d(src, cy, cz), k)
+            if sharded and cx == 1:
+                # row pulled across the slab's left end comes from the left
+                # neighbor's last plane (wrapped window junk otherwise);
+                # the global-x BC masks below still override at the true
+                # domain boundary
+                ev = dec(_shift2d(fe_ref[k, 0], cy, cz), k)[None]
+                val = jnp.where(lix3 == 0, ev, val)
+            elif sharded and cx == -1:
+                ev = dec(_shift2d(fe_ref[k, 1], cy, cz), k)[None]
+                val = jnp.where(lix3 == XL - 1, ev, val)
             if cz > 0:
                 val = jnp.where(iz3 == 0, face_value(k, 4), val)
             elif cz < 0:
@@ -472,6 +503,12 @@ def make_pallas_step(
                 else:
                     src = v_next_ch[:]
             r = _shift2d(src, -dy, -dz)
+            if sharded and dx == -1:
+                ev = _shift2d(ve_ref[:, 0], -dy, -dz)[:, None]
+                r = jnp.where(lix3 == 0, ev, r)
+            elif sharded and dx == 1:
+                ev = _shift2d(ve_ref[:, 1], -dy, -dz)[:, None]
+                r = jnp.where(lix3 == XL - 1, ev, r)
             own = v_cur_ch[:]
             if dx > 0:
                 r = jnp.where(ix3 == X - 1, own, r)
@@ -527,10 +564,17 @@ def make_pallas_step(
         rho_ref[:] = rho_out
         velout_ref[:] = vel_out
 
-    def step(f, vel, u_inlet, t_seed, statics3d, iface: Optional[Dict] = None):
+    def step(f, vel, u_inlet, t_seed, statics3d, iface: Optional[Dict] = None,
+             edges=None, x_off=None):
         """`iface` planes must already be in the pre-shifted class-permuted
         layout (dense_step.interface_planes_pair / prep_iface_pallas), in the
-        same space as the state (g = f - w when step.g_native)."""
+        same space as the state (g = f - w when step.g_native).
+
+        With shard_nx > 1 (inside shard_map): f/vel/statics/y-z-face planes
+        are the LOCAL x-slab, `edges` = (f_edges (27, 2, YS, ZS) in storage
+        dtype, v_edges (3, 2, YS, ZS) f32) are the ppermute'd neighbor
+        boundary planes ([0] = left neighbor's last, [1] = right neighbor's
+        first), and `x_off` is this shard's global x offset."""
         iface = iface or {}
         iface_specs = []
         iface_vals = []
@@ -548,7 +592,7 @@ def make_pallas_step(
             iface_vals.append(v)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3 if sharded else 2,
             grid=(NCH,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # f
@@ -560,7 +604,10 @@ def make_pallas_step(
             + (
                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 if use_mxu else []
             )
-            + iface_specs,
+            + iface_specs
+            + (
+                [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 if sharded else []
+            ),
             out_specs=[
                 pl.BlockSpec((27, PX, YS, ZS), lambda i, *_: (0, i, 0, 0)),
                 pl.BlockSpec((PX, YS, ZS), lambda i, *_: (i, 0, 0)),
@@ -577,18 +624,18 @@ def make_pallas_step(
             _SLOTS * (27 * f_bytes + 3 * 4) * plane  # rotating DMA windows
             + 2 * (1 + 4 + 4) * plane  # pipelined static in-blocks
             + 2 * (27 * f_bytes + 4 + 3 * 4) * plane  # pipelined out-blocks
-            + sum(int(np.prod(v.shape)) * 4 for v in iface_vals)
+            + sum(int(np.prod(v.shape)) * v.dtype.itemsize for v in iface_vals)
         )
         fo, rho, vo = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((27, XS, YS, ZS), f_dtype),
-                jax.ShapeDtypeStruct((XS, YS, ZS), jnp.float32),
-                jax.ShapeDtypeStruct((3, XS, YS, ZS), jnp.float32),
+                jax.ShapeDtypeStruct((27, XL, YS, ZS), f_dtype),
+                jax.ShapeDtypeStruct((XL, YS, ZS), jnp.float32),
+                jax.ShapeDtypeStruct((3, XL, YS, ZS), jnp.float32),
             ],
-            # flattened-input index 2 = f (scalar-prefetch u and seed count)
-            input_output_aliases={2: 0} if alias_f else {},
+            # f's flattened-input index (the scalar-prefetch args count)
+            input_output_aliases={(3 if sharded else 2): 0} if alias_f else {},
             compiler_params=pltpu.CompilerParams(
                 # declare close to actual use: XLA reserves the declared
                 # limit during scheduling, and over-declaring starves other
@@ -601,6 +648,9 @@ def make_pallas_step(
         )(
             jnp.asarray(u_inlet, jnp.float32).reshape(1),
             jnp.asarray(t_seed, jnp.int32).reshape(1),
+            *(
+                (jnp.asarray(x_off, jnp.int32).reshape(1),) if sharded else ()
+            ),
             f,
             vel,
             statics3d["obstacle_u8"],
@@ -611,6 +661,7 @@ def make_pallas_step(
                 if use_mxu else ()
             ),
             *iface_vals,
+            *(edges if sharded else ()),
         )
         return fo, rho, vo
 

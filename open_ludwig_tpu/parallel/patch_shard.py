@@ -18,8 +18,11 @@ block-column prototype).  The reference has no multi-GPU support at all
 (reference: src/ has a single CUDABackend, main.jl:75); this module is the
 TPU-native scaling extension.
 
-The per-level Pallas kernel is not used under sharding (pallas_call needs
-shard_map + manual halo DMA); sharded runs take the XLA path per level.
+Levels whose padded x-extent divides the mesh run the SAME fused Pallas
+kernel as single-chip, wrapped in shard_map with a one-hop lax.ppermute
+halo exchange of the slab boundary planes (solver_dense._shard_map_pstep);
+the remaining levels and all non-kernel ops (interfaces, Bouzidi sub-box,
+forces) stay GSPMD-partitioned XLA.
 """
 
 from __future__ import annotations
@@ -74,6 +77,7 @@ def shard_statics(statics: List[Dict], patches: List[PatchLevel],
     out = []
     for st, p in zip(statics, patches):
         d = {}
+        x3 = NamedSharding(mesh, P("x", None, None))
         for k, v in st.items():
             if k == "bouzidi":
                 d[k] = (
@@ -83,6 +87,9 @@ def shard_statics(statics: List[Dict], patches: List[PatchLevel],
                 )
             elif k in ("obstacle", "sponge", "wall_dist") and p.padded[0] % mesh.size == 0:
                 d[k] = jax.device_put(v, flat)
+            elif k in ("obstacle_u8", "sponge3d", "wall3d") and p.padded[0] % mesh.size == 0:
+                # 3-D copies feed the shard_map'd Pallas kernel as local slabs
+                d[k] = jax.device_put(v, x3)
             else:
                 d[k] = jax.device_put(v, rep)
         out.append(d)
@@ -95,11 +102,13 @@ def make_batch_runner_sharded(
     patches: List[PatchLevel],
     statics: List[Dict],
     mesh: Mesh,
+    use_pallas: bool = None,
 ):
     """Sharded analogue of solver_dense.make_batch_runner_dense: the whole
-    diagnostics interval is one jitted lax.scan over the sharded states."""
+    diagnostics interval is one jitted lax.scan over the sharded states,
+    with the Pallas kernel under shard_map on every level that fits."""
     coarse_step = make_coarse_step_dense(
-        cfg, params, patches, statics, use_pallas=False
+        cfg, params, patches, statics, use_pallas=use_pallas, mesh=mesh
     )
     # statics ride as traced jit arguments (statics_arg_arrays) exactly as in
     # make_batch_runner_dense: closure capture would inline every multi-MB
@@ -122,4 +131,5 @@ def make_batch_runner_sharded(
     def run(states, t0, n: int):
         return _run(states, arrs, t0, n)
 
+    run.pallas_levels = coarse_step.pallas_levels
     return run

@@ -86,9 +86,87 @@ def _pallas_fits(p: PatchLevel, store_bf16: bool = False) -> bool:
     return est1 < _PALLAS_VMEM_BUDGET
 
 
+def _shard_map_pstep(pstep, patch: PatchLevel, mesh):
+    """Run a shard_nx-built Pallas step under shard_map on an ("x",) mesh.
+
+    x-slab domain decomposition: each device owns a contiguous
+    (27, XS/n, YS, ZS) slab; per step the two boundary x-planes of f and vel
+    are exchanged with one bidirectional jax.lax.ppermute (the D3Q27 stencil
+    only reaches x±1, so a 1-plane halo rides a single ICI hop), and the
+    local Pallas kernel consumes them as edge-plane inputs with its BC masks
+    keyed on the global x offset.  Wrapped ring deliveries at the domain ends
+    are dead values: the inlet/outlet masks overwrite those rows.
+
+    This is the multi-chip scaling extension the single-GPU reference lacks
+    (reference: src/main.jl:75 picks one CUDABackend; SURVEY.md §2.6) — halo
+    exchange over ICI instead of NCCL, with the SAME kernel as single-chip."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    XS, YS, ZS = patch.padded
+    n_dev = mesh.devices.size
+    assert XS % n_dev == 0, (XS, n_dev)
+    XL = XS // n_dev
+    need_iface = tuple(
+        fc for fc in range(6) if patch.face_bc[fc] == BC_INTERFACE
+    )
+
+    def local(f, vel, u_inlet, t_seed, st3d, iface):
+        me = jax.lax.axis_index("x")
+        fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        bwd = [((i + 1) % n_dev, i) for i in range(n_dev)]
+        # [0] = left neighbor's last plane, [1] = right neighbor's first
+        f_edges = jnp.stack(
+            [jax.lax.ppermute(f[:, -1], "x", fwd),
+             jax.lax.ppermute(f[:, 0], "x", bwd)], axis=1
+        )
+        v_edges = jnp.stack(
+            [jax.lax.ppermute(vel[:, -1], "x", fwd),
+             jax.lax.ppermute(vel[:, 0], "x", bwd)], axis=1
+        )
+        return pstep(
+            f, vel, u_inlet, t_seed, st3d, iface,
+            edges=(f_edges, v_edges), x_off=me * XL,
+        )
+
+    x4 = P(None, "x", None, None)
+    x3 = P("x", None, None)
+    st3d_spec = {"obstacle_u8": x3, "sponge3d": x3, "wall3d": x3}
+    # ghost planes: x-faces are whole (27, YS, ZS) planes consumed by the
+    # first/last chunk only (replicate); y/z faces are x-row-major
+    # (XS, 27, B) and slab-shard with the state
+    iface_spec = {
+        fc: (P(None, None, None) if fc // 2 == 0 else x3)
+        for fc in need_iface
+    }
+    sm = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(x4, x4, P(), P(), st3d_spec, iface_spec),
+        out_specs=(x4, x3, x4),
+        check_vma=False,
+    )
+
+    def step(f, vel, u_inlet, t_seed, statics3d, iface=None):
+        st3d = {k: statics3d[k] for k in st3d_spec}
+        return sm(
+            f, vel,
+            jnp.asarray(u_inlet, jnp.float32),
+            jnp.asarray(t_seed, jnp.int32),
+            st3d, iface or {},
+        )
+
+    step.g_native = getattr(pstep, "g_native", False)
+    return step
+
+
 def make_coarse_step_dense(
     cfg: CaseConfig, params: DomainParams, patches: List[PatchLevel],
     statics: List[Dict], use_pallas: bool = None,
+    mesh=None,  # jax.sharding.Mesh over ("x",): run every level's Pallas
+    # step inside a shard_map x-slab decomposition with lax.ppermute halo
+    # exchange over ICI (parallel.patch_shard wires this for production)
+    interpret: bool = None,  # Pallas interpret mode (None = auto: CPU only)
     _iface_mode: str = "real",  # perf dissection hook (tools/perf_probe3):
     # "frozen" closes rest-state ghost planes over the step as constants,
     # removing the whole interface-construction path from the timeline
@@ -99,26 +177,33 @@ def make_coarse_step_dense(
     store_bf16 = precision == storage.STORE_BF16
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
+    if interpret is None:
+        interpret = jax.default_backend() in ("cpu",)
+    shard_nx = mesh.devices.size if mesh is not None else 1
     psteps = []
     for li, p in enumerate(patches):
-        if use_pallas and _pallas_fits(p, store_bf16):
-            psteps.append(
-                make_pallas_step(
-                    p,
-                    c_wale=cfg.c_wale,
-                    nu_sgs_background=cfg.nu_sgs_background,
-                    inlet_turbulence=cfg.inlet_turbulence_intensity,
-                    wall_model=cfg.wall_model_enabled,
-                    sponge_blend=cfg.sponge_blend_distributions,
-                    store_bf16=store_bf16,
-                    # in-place f update on every level: parents' pre-step
-                    # state is only consumed by the child-interface slab
-                    # slices, which XLA schedules before the clobbering
-                    # kernel (verified bit-exact on a 3-level TPU A/B);
-                    # kills the scan-carry loop-back copies
-                    alias_f=True,
-                )
+        if use_pallas and _pallas_fits(p, store_bf16) \
+                and p.padded[0] % shard_nx == 0:
+            pstep = make_pallas_step(
+                p,
+                c_wale=cfg.c_wale,
+                nu_sgs_background=cfg.nu_sgs_background,
+                inlet_turbulence=cfg.inlet_turbulence_intensity,
+                wall_model=cfg.wall_model_enabled,
+                sponge_blend=cfg.sponge_blend_distributions,
+                store_bf16=store_bf16,
+                interpret=interpret,
+                shard_nx=shard_nx,
+                # in-place f update on every level: parents' pre-step
+                # state is only consumed by the child-interface slab
+                # slices, which XLA schedules before the clobbering
+                # kernel (verified bit-exact on a 3-level TPU A/B);
+                # kills the scan-carry loop-back copies
+                alias_f=True,
             )
+            if mesh is not None:
+                pstep = _shard_map_pstep(pstep, p, mesh)
+            psteps.append(pstep)
         else:
             psteps.append(None)
             if use_pallas:
@@ -141,9 +226,12 @@ def make_coarse_step_dense(
         f_dtype = jnp.bfloat16 if store_bf16 else jnp.float32
         # coefficients (A+B) + box scratch, all resident in VMEM at once
         box_bytes = 3 * 27 * int(np.prod(plan["dim"])) * (2 if store_bf16 else 4)
-        if psteps[li] is not None and box_bytes < 32 * 2**20:
+        if psteps[li] is not None and box_bytes < 32 * 2**20 \
+                and mesh is None:
             bz_apply.append(
-                make_bouzidi_pallas(plan, (27,) + p.padded, f_dtype)
+                make_bouzidi_pallas(
+                    plan, (27,) + p.padded, f_dtype, interpret=interpret
+                )
             )
         else:
             if psteps[li] is not None:
@@ -240,6 +328,13 @@ def make_coarse_step_dense(
                         mm_plans[lvl + 1], child, patch,
                         st if use_temporal else None, states[lvl],
                         use_temporal, g_shifted=g_native[lvl + 1],
+                        # ghost planes in the storage dtype: halves the feq
+                        # tail's write traffic and the kernel's plane reads
+                        # (g-space planes are O(u) so bf16 keeps ~3 digits;
+                        # Cd validation re-checked under this, VALIDATION.md)
+                        out_dtype=(
+                            jnp.bfloat16 if g_native[lvl + 1] else jnp.float32
+                        ),
                     )
                     if_a = {fc: v[0] for fc, v in planes.items()}
                     if_b = {fc: v[-1] for fc, v in planes.items()}
@@ -263,6 +358,9 @@ def make_coarse_step_dense(
         visit(0, t, None)
         return states
 
+    # which levels run the fused Pallas kernel (vs the XLA dense fallback) —
+    # introspection for tests/dryruns asserting the production kernel is live
+    coarse_step.pallas_levels = tuple(ps is not None for ps in psteps)
     return coarse_step
 
 
@@ -292,9 +390,11 @@ def statics_arg_arrays(statics: List[Dict]) -> List[Dict]:
 
 def make_batch_runner_dense(
     cfg: CaseConfig, params: DomainParams, patches: List[PatchLevel],
-    statics: List[Dict],
+    statics: List[Dict], use_pallas: bool = None,
 ):
-    coarse_step = make_coarse_step_dense(cfg, params, patches, statics)
+    coarse_step = make_coarse_step_dense(
+        cfg, params, patches, statics, use_pallas=use_pallas
+    )
     arrs = statics_arg_arrays(statics)
 
     @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
@@ -308,6 +408,7 @@ def make_batch_runner_dense(
     def run(states, t0, n: int):
         return _run(states, arrs, t0, n)
 
+    run.pallas_levels = coarse_step.pallas_levels
     return run
 
 

@@ -167,9 +167,15 @@ def test_interface_plane_linear_field():
 
 @pytest.mark.parametrize("use_temporal", [True, False])
 @pytest.mark.parametrize("g_shifted", [True, False])
-def test_interface_planes_pair_mm_parity(rng, use_temporal, g_shifted):
+@pytest.mark.parametrize("parent_lo", [(0, 0, 0), (6, 4, 2)])
+def test_interface_planes_pair_mm_parity(rng, use_temporal, g_shifted,
+                                         parent_lo):
     """The einsum-operator interface pipeline (interface_planes_pair_mm) must
-    match the slice/upsample/shift pipeline bit-closely on random states."""
+    match the slice/upsample/shift pipeline bit-closely on random states.
+
+    parent_lo != 0 covers deep levels (level 3+), whose parent array is
+    itself offset in global coordinates — a round-3 regression (global vs
+    parent-local slab coordinates) that doubled the validated sphere Cd."""
     from open_ludwig_tpu.ops.dense_step import (
         build_iface_mm_plan,
         interface_endpoints,
@@ -178,8 +184,10 @@ def test_interface_planes_pair_mm_parity(rng, use_temporal, g_shifted):
         interface_planes_pair_mm,
     )
 
-    parent = _patch((20, 16, 16), tau=0.58, level_id=1)
-    child = _patch((14, 12, 12), tau=0.54, lo=(10, 8, 8),
+    parent = _patch((20, 16, 16), tau=0.58, level_id=1, lo=parent_lo)
+    child = _patch((14, 12, 12), tau=0.54,
+                   lo=(2 * parent_lo[0] + 10, 2 * parent_lo[1] + 8,
+                       2 * parent_lo[2] + 8),
                    face_bc=[BC_INTERFACE] * 6, level_id=2, dx=0.5)
 
     def rand_state():

@@ -147,10 +147,16 @@ def test_bouzidi_dense_matches_sparse(rng):
     )
 
 
-def test_sharded_dense_step_matches_single():
-    from jax.sharding import Mesh
+@pytest.mark.parametrize("store_bf16", [False, True])
+def test_sharded_pallas_step_matches_single(rng, store_bf16):
+    """Production multichip path: the fused Pallas kernel under shard_map
+    with ppermute halo exchange (solver_dense._shard_map_pstep) must match
+    the unsharded Pallas kernel on interior cells.  Padding cells are dead
+    values (obstacle bounce-back of wrapped-window junk) and legitimately
+    differ between chunkings."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    from open_ludwig_tpu.parallel.dense_shard import make_sharded_dense_step
+    from open_ludwig_tpu.solver_dense import _shard_map_pstep
 
     n_dev = 4
     if len(jax.devices()) < n_dev:
@@ -160,35 +166,40 @@ def test_sharded_dense_step_matches_single():
     p.obstacle[6:9, 3:5, 50:56] = True
     p.sponge[13:, :, :] = 0.4
     kw = dict(c_wale=0.5, nu_sgs_background=5e-4, inlet_turbulence=0.01,
-              wall_model=True, sponge_blend=True)
+              wall_model=True, sponge_blend=True, interpret=True,
+              store_bf16=store_bf16)
     mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("x",))
-    step, shard = make_sharded_dense_step(p, mesh, **kw)
-    statics = {
-        "obstacle3d": shard(p.obstacle, 0),
-        "sponge3d": shard(p.sponge, 0),
-        "wall3d": shard(p.wall_dist, 0),
-    }
-    f = shard(np.broadcast_to(lat.W[:, None, None, None],
-                              (27,) + p.padded).astype(np.float32), 1)
-    vel = shard(np.zeros((3,) + p.padded, np.float32), 1)
-    for t in range(2):
-        f, rho, vel = step(f, vel, 0.02, t, statics)
+    st3d = prepare_pallas_statics(p)
+    f_dtype = jnp.bfloat16 if store_bf16 else jnp.float32
+    f0 = (lat.W[:, None, None, None] * (1 + 0.03 * rng.standard_normal(
+        (27,) + p.padded))).astype(np.float32)
+    if store_bf16:
+        f0 = f0 - lat.W[:, None, None, None].astype(np.float32)  # g-space
+    v0 = (0.02 * rng.standard_normal((3,) + p.padded)).astype(np.float32)
 
-    static_flat = {
-        "obstacle": jnp.asarray(p.obstacle.reshape(-1)),
-        "sponge": jnp.asarray(p.sponge.reshape(-1)),
-        "wall_dist": jnp.asarray(p.wall_dist.reshape(-1)),
-        "bouzidi": None,
-    }
-    f1 = jnp.asarray(np.broadcast_to(lat.W[:, None, None, None],
-                                     (27,) + p.padded).astype(np.float32))
-    v1 = jnp.zeros((3,) + p.padded, jnp.float32)
+    step1 = make_pallas_step(p, **kw)
+    fA, rA, vA = jnp.asarray(f0, f_dtype), None, jnp.asarray(v0)
     for t in range(2):
-        f1, r1, v1 = dense_stream_collide(
-            f1, v1, jnp.float32(0.02), jnp.int32(t), static_flat, p, **kw)
+        fA, rA, vA = step1(fA, vA, 0.02, t, st3d)
+
+    stepN = _shard_map_pstep(
+        make_pallas_step(p, shard_nx=n_dev, **kw), p, mesh
+    )
+    xsh = NamedSharding(mesh, P(None, "x"))
+    fB = jax.device_put(jnp.asarray(f0, f_dtype), xsh)
+    vB = jax.device_put(jnp.asarray(v0), xsh)
+    st3d_sh = dict(st3d)
+    for k in ("obstacle_u8", "sponge3d", "wall3d"):
+        st3d_sh[k] = jax.device_put(st3d[k], NamedSharding(mesh, P("x")))
+    for t in range(2):
+        fB, rB, vB = stepN(fB, vB, 0.02, t, st3d_sh)
+
     X_, Y_, Z_ = p.interior
-    d = np.abs(np.asarray(f)[:, :X_, :Y_, :Z_] - np.asarray(f1)[:, :X_, :Y_, :Z_]).max()
-    assert d < 1e-5, d
+    df = np.abs(np.asarray(fA, np.float32)[:, :X_, :Y_, :Z_]
+                - np.asarray(fB, np.float32)[:, :X_, :Y_, :Z_]).max()
+    dv = np.abs(np.asarray(vA)[:, :X_, :Y_, :Z_]
+                - np.asarray(vB)[:, :X_, :Y_, :Z_]).max()
+    assert df < 1e-6 and dv < 1e-6, (df, dv)
 
 
 @pytest.mark.parametrize("X", [8, 16])
