@@ -45,6 +45,34 @@ _C = jnp.asarray(lat.C)
 _W = jnp.asarray(lat.W)
 _HI = jax.lax.Precision.HIGHEST
 
+# z-normal interface slabs: 2-lane slice + moveaxis before the lerp instead
+# of lane-degenerate picks (trace-time constant; see slab() in
+# interface_planes_pair_mm).  Measured WORSE (1512 -> 1838 us/coarse,
+# interleaved A/B): kept only as a documented dead end.
+ZSLAB_MOVE = False
+
+# z-groups skip the normal pick+lerp and contract the slab's normal axis
+# inside the big einsum with the per-face 2-hot UN2 matrix instead; the two
+# z-faces share one slab when their aligned windows coincide.  Measured
+# 1503 -> 1442 us/coarse on the bench (interleaved A/B).  Trace-time
+# constant; see interface_planes_pair_mm.
+Z_NHOT = True
+
+# f-slab einsums on bf16 g-storage: bf16 operands with f32 accumulation
+# (native MXU pass) instead of promoting to f32 under Precision.HIGHEST
+# (multi-pass emulation).  The slab data is already bf16-rounded and the
+# operator weights (0.25/0.5/0.75/1.0 upsample rows, edge clamps) are exact
+# in bf16; only the normal-lerp weights round (<0.4%, the same class as the
+# storage quantization).  Measured 1447 -> 1341 us/coarse.  Trace-time
+# constant.
+MM_BF16_EINSUM = True
+
+# rho/vel einsum precision (f32 operands): HIGHEST = full f32 emulation,
+# HIGH = bf16x3 passes (~1e-5 relative, far below the bf16 ghost-plane
+# output quantization).  Measured 1341 -> 1287 us/coarse.  Trace-time
+# constant.
+MM_RV_PRECISION = jax.lax.Precision.HIGH
+
 
 def _upsample_axis(slab: jnp.ndarray, axis: int, g_start: int, length: int):
     """2x refinement along `axis` with the reference's parity-biased corner
@@ -483,6 +511,14 @@ def build_iface_mm_plan(patch: PatchLevel, parent: PatchLevel) -> Optional[Dict]
         size3[ax] = wn
         size3[t0] = wa
         size3[t1] = wb
+        # per-face 2-hot normal-lerp matrix (nf, wn): contracting the slab's
+        # normal axis with this inside the big einsum replaces the z-group's
+        # pick+lerp chain, whose lane-degenerate layout cost ~21 us lerps +
+        # ~13 us relayout copies each on the bench
+        UN2 = np.zeros((len(faces), wn), np.float32)
+        for fi, (i0, i1, wf) in enumerate(lerp_idx):
+            UN2[fi, i0] += 1.0 - wf
+            UN2[fi, i1] += wf
         groups.append(
             {
                 "axis": ax,
@@ -494,6 +530,7 @@ def build_iface_mm_plan(patch: PatchLevel, parent: PatchLevel) -> Optional[Dict]
                 "lerp_idx": lerp_idx,
                 "UA3": jnp.asarray(UA3),
                 "UB3": jnp.asarray(UB3),
+                "UN2": jnp.asarray(UN2),
             }
         )
     return {"groups": groups}
@@ -540,21 +577,28 @@ def interface_planes_pair_mm(
     states = [p_old, p_new] if blend else [p_new]
     cv = jnp.asarray(np.array([-1.0, 0.0, 1.0], np.float32))
     out = {}
+    is_g_store = p_new["f"].dtype == jnp.bfloat16
     for grp in plan["groups"]:
         ax = grp["axis"]
         nf = len(grp["faces"])
         sz = grp["sizes"]
+        # z-groups: contract the slab's normal (lane) axis inside the big
+        # einsum with the per-face 2-hot UN2 matrix instead of pick+lerp —
+        # a single z-plane pick leaves the whole chain 1-lane-degenerate
+        # (measured ~21 us lerps + ~13 us relayout copies each).  The two
+        # z-faces share one slab when their aligned windows coincide.
+        nhot = Z_NHOT and ax == 2
+        merged = nhot and all(s == grp["starts"][0] for s in grp["starts"])
 
-        def slab(key, lead, dec=False):
-            """Aligned parent slab per face, normal-lerped: the lerp is two
-            static index picks on the SMALL slab (an einsum contraction over
-            the aligned normal extent lowers to a lane-wide VPU
-            multiply-reduce on z-faces; a pre-lerp 2-lane slice+moveaxis of
-            the z-normal picks measured 1547 -> 2586 us/coarse — the
-            degenerate-layout pick+lerp IS the fastest formulation XLA
-            accepts here)."""
+        def slab(key, lead, keep_n=False, _nhot=nhot, _merged=merged):
+            """Aligned parent slab per face, normal-lerped (or with the
+            normal axis kept for the einsum contraction when keep_n).  All
+            slab math runs in the STORAGE dtype: the decode g -> f is affine
+            with every row-sum-1 operator downstream, so the +w shift is
+            applied once after the einsum (or folded into the g-space feq)."""
+            starts = grp["starts"][:1] if _merged else grp["starts"]
             per_face = []
-            for st3, (i0, i1, wf) in zip(grp["starts"], grp["lerp_idx"]):
+            for st3, (i0, i1, wf) in zip(starts, grp["lerp_idx"]):
                 per_state = []
                 for st in states:
                     sl = jax.lax.dynamic_slice(
@@ -562,6 +606,9 @@ def interface_planes_pair_mm(
                         (0,) * lead + st3,
                         st[key].shape[:lead] + sz,
                     )
+                    if keep_n and _nhot:
+                        per_state.append(sl)  # (..., a, b, N)
+                        continue
                     lo = jax.lax.index_in_dim(sl, i0, lead + ax, keepdims=False)
                     hi = jax.lax.index_in_dim(sl, i1, lead + ax, keepdims=False)
                     per_state.append((1.0 - wf) * lo + wf * hi)
@@ -569,35 +616,66 @@ def interface_planes_pair_mm(
                     per_state[0][None] if len(per_state) == 1
                     else jnp.stack(per_state)
                 )
-            sl = jnp.stack(per_face)  # (nf, ns, [lead,] a, b)
+            sl = jnp.stack(per_face)  # (nf|1, ns, [lead,] a, b[, N])
             if blend:
                 # temporal weights (0.0, 0.5) in compact slab space (the
                 # blend commutes with every linear operator downstream)
                 sl = jnp.stack(
                     [sl[:, 0], 0.5 * (sl[:, 0] + sl[:, 1])], axis=1
                 )
-            return sl
+            return sl[0] if _merged else sl
 
-        f_sl = decode_f(slab("f", 1), k_axis=2)  # (nf, nw, 27, a, b)
-        r_sl = slab("rho", 0)  # (nf, nw, a, b)
-        v_sl = slab("vel", 1)  # (nf, nw, 3, a, b)
-        nw = f_sl.shape[1]
+        keep = nhot
+        f_sl = slab("f", 1, keep)  # ([nf,] nw, 27, a, b[, N]) storage dtype
+        r_sl = slab("rho", 0, keep)
+        v_sl = slab("vel", 1, keep)
+        nw = f_sl.shape[0] if merged else f_sl.shape[1]
         A, B = grp["A"], grp["B"]
         UA3, UB3 = grp["UA3"], grp["UB3"]
-        a_len, b_len = f_sl.shape[-2], f_sl.shape[-1]
-
-        f_up = jnp.einsum(
-            _MM_EINSUM_F[ax],
-            UA3, UB3,
-            f_sl.reshape((nf, nw, 3, 3, 3, a_len, b_len)),
-            precision=_HI,
-        )
-        # vel einsum carries the component axis so rho can ride the same
-        # contraction: stack rho under vel as a 4th "component"
-        rv = jnp.concatenate([v_sl, r_sl[:, :, None]], axis=2)
-        rv_w = jnp.einsum(
-            _MM_EINSUM_S[ax], UA3, UB3, rv, precision=_HI,
-        )  # (nf, nw, 4, c, d, A, B)
+        if MM_BF16_EINSUM and f_sl.dtype == jnp.bfloat16:
+            f_ein = dict(
+                precision=None, preferred_element_type=jnp.float32
+            )
+            ua_f, ub_f = UA3.astype(jnp.bfloat16), UB3.astype(jnp.bfloat16)
+            un_f = grp["UN2"].astype(jnp.bfloat16)
+        else:
+            f_ein = dict(precision=_HI)
+            ua_f, ub_f, un_f = UA3, UB3, grp["UN2"]
+        if nhot:
+            a_len, b_len = f_sl.shape[-3], f_sl.shape[-2]
+            n_len = f_sl.shape[-1]
+            fs = ("" if merged else "f") + "nzyxabN"
+            rs = ("" if merged else "f") + "ntabN"
+            lead_sh = () if merged else (nf,)
+            ein_f = _MM_EINSUM_F[ax].split(",")[0:2]
+            f_up = jnp.einsum(
+                f"{ein_f[0]},{ein_f[1]},fN,{fs}->fnAzyxB",
+                ua_f, ub_f, un_f,
+                f_sl.reshape(lead_sh + (nw, 3, 3, 3, a_len, b_len, n_len)),
+                **f_ein,
+            )
+            rv_ax = 1 if merged else 2
+            rv = jnp.concatenate(
+                [v_sl, jnp.expand_dims(r_sl, rv_ax)], axis=rv_ax
+            )
+            rv_w = jnp.einsum(
+                f"cAa,dBb,fN,{rs}->fntcdAB",
+                UA3, UB3, grp["UN2"], rv, precision=MM_RV_PRECISION,
+            )
+        else:
+            a_len, b_len = f_sl.shape[-2], f_sl.shape[-1]
+            f_up = jnp.einsum(
+                _MM_EINSUM_F[ax],
+                ua_f, ub_f,
+                f_sl.reshape((nf, nw, 3, 3, 3, a_len, b_len)),
+                **f_ein,
+            )
+            # vel einsum carries the component axis so rho can ride the same
+            # contraction: stack rho under vel as a 4th "component"
+            rv = jnp.concatenate([v_sl, r_sl[:, :, None]], axis=2)
+            rv_w = jnp.einsum(
+                _MM_EINSUM_S[ax], UA3, UB3, rv, precision=MM_RV_PRECISION,
+            )  # (nf, nw, 4, c, d, A, B)
 
         # arrange the windowed fields onto the direction-class axes; for y/z
         # faces the plane A axis LEADS the classes (x-rows-first output)
@@ -638,10 +716,19 @@ def interface_planes_pair_mm(
         rho_b = arrange(rv_w[:, :, 3])
         cu = cx_b * ub[0] + cy_b * ub[1] + cz_b * ub[2]
         usq = ub[0] * ub[0] + ub[1] * ub[1] + ub[2] * ub[2]
-        feq = rho_b * W_b * (1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * usq)
-        plane = feq + (f_up - feq) * jnp.float32(scale)
+        expr = rho_b * (1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * usq)
+        # f_up is in STORAGE space (g = f - w for bf16): the +w decode
+        # commutes with every row-sum-1 operator, so either fold it into a
+        # g-space equilibrium (g output) or add W_b once (f output)
         if g_shifted:
-            plane = plane - W_b
+            # plane_g = feq_g + (g_up - feq_g) * scale, feq_g = w*(expr - 1)
+            feq_g = W_b * (expr - 1.0)
+            g_up = f_up if is_g_store else f_up - W_b
+            plane = feq_g + (g_up - feq_g) * jnp.float32(scale)
+        else:
+            feq = W_b * expr
+            f_up_f = f_up + W_b if is_g_store else f_up
+            plane = feq + (f_up_f - feq) * jnp.float32(scale)
         plane = plane.astype(out_dtype)
         if ax == 0:
             plane = plane.reshape(nf, nw, 27, A, B)

@@ -252,6 +252,9 @@ def make_pallas_step(
     # us/step on the Re1M finest level) — kept as a tested option
     _stage: str = "full",  # perf dissection hook (tools/perf_probe3):
     #   "full" = production, "nocollide" = stream+DMA only, "copy" = DMA only
+    _skip_x_bc: bool = False,  # perf dissection only: drop the x-face BC
+    # masked selects (physics-wrong; bounds what a ci-predicated edge/interior
+    # kernel split could save)
 ):
     XS, YS, ZS = patch.padded
     X, Y, Z = patch.interior
@@ -434,9 +437,8 @@ def make_pallas_step(
         if _stage == "copy":
             for k in range(27):
                 fout_ref[k] = f_cur_ch[k]
-            rho_ref[:] = sponge_ref[:] + wall_ref[:] + jnp.where(
-                obstacle_ref[:] != 0, 1.0, 0.0
-            )
+            rho_ref[:] = (sponge_ref[:] + wall_ref[:]
+                          + obstacle_ref[:].astype(jnp.int32).astype(jnp.float32))
             velout_ref[:] = v_cur_ch[:]
             return
 
@@ -479,9 +481,9 @@ def make_pallas_step(
                 val = jnp.where(iy3 == 0, face_value(k, 2), val)
             elif cy < 0:
                 val = jnp.where(iy3 == Y - 1, face_value(k, 3), val)
-            if cx < 0:
+            if cx < 0 and not _skip_x_bc:
                 val = jnp.where(ix3 == X - 1, face_value(k, 1), val)
-            elif cx > 0:
+            elif cx > 0 and not _skip_x_bc:
                 val = jnp.where(ix3 == 0, face_value(k, 0), val)
             streamed.append(val)
 
@@ -510,9 +512,9 @@ def make_pallas_step(
                 ev = _shift2d(ve_ref[:, 1], -dy, -dz)[:, None]
                 r = jnp.where(lix3 == XL - 1, ev, r)
             own = v_cur_ch[:]
-            if dx > 0:
+            if dx > 0 and not _skip_x_bc:
                 r = jnp.where(ix3 == X - 1, own, r)
-            elif dx < 0:
+            elif dx < 0 and not _skip_x_bc:
                 r = jnp.where(ix3 == 0, own, r)
             if dy > 0:
                 r = jnp.where(iy3 == Y - 1, own, r)
@@ -533,9 +535,8 @@ def make_pallas_step(
         if _stage == "nocollide":
             for k in range(27):
                 fout_ref[k] = enc(streamed[k], k)
-            rho_ref[:] = sponge_ref[:] + wall_ref[:] + jnp.where(
-                obstacle_ref[:] != 0, 1.0, 0.0
-            )
+            rho_ref[:] = (sponge_ref[:] + wall_ref[:]
+                          + obstacle_ref[:].astype(jnp.int32).astype(jnp.float32))
             velout_ref[:] = (nbrs[0] + nbrs[1]) * 0.5
             return
 
