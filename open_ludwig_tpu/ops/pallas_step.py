@@ -250,7 +250,7 @@ def make_pallas_step(
     # measured SLOWER on v5e: the (27, M) reshapes around the matmuls force
     # full VMEM relayouts that outweigh the vector ops saved (641 vs 482
     # us/step on the Re1M finest level) — kept as a tested option
-    _stage: str = "full",  # perf dissection hook (tools/perf_probe3):
+    _stage: str = "full",  # perf dissection hook (tools/perf_probe):
     #   "full" = production, "nocollide" = stream+DMA only, "copy" = DMA only
     _skip_x_bc: bool = False,  # perf dissection only: drop the x-face BC
     # masked selects (physics-wrong; bounds what a ci-predicated edge/interior

@@ -78,7 +78,9 @@ def solve_case(cfg: CaseConfig) -> SolveResult:
 
         mesh = load_mesh(cfg.stl_path, scale=cfg.stl_scale)
         params = compute_domain_params(cfg, mesh.min_bounds, mesh.max_bounds)
-        levels = build_patches(cfg, mesh, params)
+        # pad every level's x-extent to the mesh size so multi-chip runs get
+        # even slabs AND the Pallas-under-shard_map kernel on every level
+        levels = build_patches(cfg, mesh, params, x_multiple=max(cfg.devices, 1))
         statics = build_patch_statics(cfg, levels)
         states = [init_patch_state(p, cfg.precision) for p in levels]
         total_cells = sum(p.n_cells for p in levels)

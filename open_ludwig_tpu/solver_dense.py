@@ -167,7 +167,7 @@ def make_coarse_step_dense(
     # step inside a shard_map x-slab decomposition with lax.ppermute halo
     # exchange over ICI (parallel.patch_shard wires this for production)
     interpret: bool = None,  # Pallas interpret mode (None = auto: CPU only)
-    _iface_mode: str = "real",  # perf dissection hook (tools/perf_probe3):
+    _iface_mode: str = "real",  # perf dissection hook (tools/perf_probe):
     # "frozen" closes rest-state ghost planes over the step as constants,
     # removing the whole interface-construction path from the timeline
 ):

@@ -248,3 +248,34 @@ def test_wing_case_smoke(tmp_path):
     res = solve_case(cfg)
     assert res.final_stats.rho_min > 0.8
     assert np.isfinite(res.final_forces.Cl)
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_under_sharding(tmp_path):
+    """Multi-chip e2e: solve_case on a 4-device x mesh (engine.devices) with
+    checkpointing, then resume under the same sharding — state and forces
+    must continue seamlessly (no duplicate Step rows, finite Cd, and the
+    resumed run's states match an uninterrupted sharded run)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    d = str(tmp_path)
+    make_case_sphere(
+        d, "1M", surface_resolution=10, num_levels=2, steps=20, ramp_steps=10,
+        output_freq=100, diag_freq=10, wake_enabled=False,
+        boundary_method="bouzidi", wall_model=True, precision="bfloat16",
+    )
+    cfg = load_case_config(d).with_overrides(devices=4, checkpoint_freq=10)
+    assert cfg.devices == 4
+    res_full = solve_case(cfg.with_overrides(output_dir="RESULTS_FULL",
+                                             checkpoint_freq=0))
+    # interrupted run: stop at 10, then resume to 20 under the same mesh
+    solve_case(cfg.with_overrides(steps=10))
+    res_resumed = solve_case(cfg.with_overrides(checkpoint_resume=True))
+    assert np.isfinite(res_resumed.final_forces.Cd)
+    assert abs(res_resumed.final_forces.Cd - res_full.final_forces.Cd) < 2e-2
+    conv = list(csv.DictReader(
+        open(os.path.join(cfg.output_path, "convergence.csv"))))
+    steps = [int(r["Step"]) for r in conv]
+    assert len(steps) == len(set(steps)) and max(steps) == 20

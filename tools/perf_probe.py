@@ -1,12 +1,12 @@
-"""Per-component timing probe for the bench configuration.
+"""Kernel dissection: split the Pallas step into DMA / +streaming / +collide
+stages and compare f32 vs bf16 g-storage, per level of the Re1M bench case.
 
-Times, in isolation on the real device:
-  - each level's fused stream-collide step (Pallas and XLA variants)
-  - interface endpoint extraction + ghost-plane interpolation
-  - the dense Bouzidi correction
-  - the full coarse step and the scanned batch
+Each stage loops inside one lax.scan (per-dispatch overhead vanishes):
+  copy      = DMA windows in, outputs out (memory speed-of-light proxy)
+  nocollide = + 27-direction pull shifts and BC masked selects
+  full      = + moments/WALE/wall-model/regularized collide
 
-Usage: python tools/perf_probe.py [--levels 3] [--res 25] [--steps 30]
+Usage: python tools/perf_probe.py [--levels 3] [--res 25] [--n 100]
 """
 
 import argparse
@@ -14,31 +14,43 @@ import sys
 import tempfile
 import time
 
-import numpy as np
-
 sys.path.insert(0, ".")
 
 
-def timeit(fn, *args, n=30, warmup=2, **kw):
+def scan_time(make_body, init_carry, n, label, work_cells=None):
     import jax
+    import jax.numpy as jnp
 
-    out = None
-    for _ in range(warmup):
-        out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    @jax.jit
+    def run(carry):
+        def body(c, t):
+            return make_body(c, t), None
+
+        out, _ = jax.lax.scan(body, carry, jnp.arange(n, dtype=jnp.int32))
+        return out
+
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args, **kw)
+    out = run(init_carry)
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n, out
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = run(init_carry)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    msg = f"{label:46s} {dt*1e6:9.1f} us/iter (compile {compile_s:5.1f}s)"
+    if work_cells:
+        msg += f" | {dt/work_cells*1e9:6.2f} us/kcell | {work_cells/dt/1e6:6.0f} MLUPS"
+    print(msg, flush=True)
+    return dt
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--levels", type=int, default=3)
     ap.add_argument("--res", type=int, default=25)
-    ap.add_argument("--steps", type=int, default=30)
-    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--n", type=int, default=100)
+    ap.add_argument("--stages", type=str, default="copy,nocollide,full")
+    ap.add_argument("--coarse", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -52,12 +64,6 @@ def main():
     from open_ludwig_tpu.config import load_case_config
     from open_ludwig_tpu.core.patch import build_patches
     from open_ludwig_tpu.geometry import load_mesh
-    from open_ludwig_tpu.ops.dense_step import (
-        apply_bouzidi_dense,
-        dense_stream_collide,
-        interface_endpoints,
-        interface_from_endpoints,
-    )
     from open_ludwig_tpu.ops.pallas_step import make_pallas_step
     from open_ludwig_tpu.scaling import compute_domain_params
     from open_ludwig_tpu.solver_dense import (
@@ -78,77 +84,81 @@ def main():
     params = compute_domain_params(cfg, mesh.min_bounds, mesh.max_bounds)
     levels = build_patches(cfg, mesh, params)
     statics = build_patch_statics(cfg, levels)
-    states = [init_patch_state(p) for p in levels]
 
     for p in levels:
+        pad = p.padded[0] * p.padded[1] * p.padded[2]
         print(f"level {p.level_id}: padded={p.padded} interior={p.interior} "
-              f"cells={p.n_cells/1e6:.3f}M plane={p.padded[1]}x{p.padded[2]}",
+              f"cells={p.n_cells/1e6:.3f}M pad-waste={pad/p.n_cells:.2f}x",
               flush=True)
 
     u = jnp.float32(cfg.u_lattice)
-    seed = jnp.int32(7)
+    n = args.n
+    kw = dict(
+        c_wale=cfg.c_wale,
+        nu_sgs_background=cfg.nu_sgs_background,
+        inlet_turbulence=cfg.inlet_turbulence_intensity,
+        wall_model=cfg.wall_model_enabled,
+        sponge_blend=cfg.sponge_blend_distributions,
+    )
 
-    # --- per-level fused step, isolated ---
+    from open_ludwig_tpu.ops.dense_step import (
+        interface_endpoints,
+        interface_from_endpoints,
+    )
+    from open_ludwig_tpu.ops.pallas_step import prep_iface_pallas
+
     for li, p in enumerate(levels):
-        st = states[li]
-        iface = None
-        if li > 0:
-            ep = interface_endpoints(p, levels[li - 1], states[li - 1])
-            iface_fn = jax.jit(
-                lambda e: interface_from_endpoints(
-                    e, e, p, levels[li - 1], 0.5, True
-                )
-            )
-            dt_if, iface = timeit(iface_fn, ep, n=args.steps)
-            ep_fn = jax.jit(lambda s: interface_endpoints(p, levels[li - 1], s))
-            dt_ep, _ = timeit(ep_fn, states[li - 1], n=args.steps)
-            print(f"L{li} endpoints: {dt_ep*1e6:8.1f} us | iface lerp: "
-                  f"{dt_if*1e6:8.1f} us", flush=True)
+        for prec, bf in (("f32", False), ("bf16", True)):
+            st = init_patch_state(p, "bfloat16" if bf else "float32")
+            for stage in args.stages.split(","):
+                try:
+                    pstep = make_pallas_step(p, store_bf16=bf, _stage=stage, **kw)
+                    # rest-state ghost planes in the kernel's pre-shifted
+                    # layout and storage space (interface levels only)
+                    iface0 = None
+                    if li > 0:
+                        st_par = init_patch_state(levels[li - 1])
+                        ep = jax.jit(
+                            lambda s: interface_endpoints(p, levels[li - 1], s)
+                        )(st_par)
+                        fr = jax.jit(
+                            lambda e: interface_from_endpoints(
+                                e, e, p, levels[li - 1], 0.5, True
+                            )
+                        )(ep)
+                        g_nat = getattr(pstep, "g_native", False)
+                        iface0 = prep_iface_pallas(fr, p, g_shifted=g_nat)
+                        if g_nat:
+                            iface0 = {
+                                k: v.astype(jnp.bfloat16)
+                                for k, v in iface0.items()
+                            }
 
-        if not args.no_pallas:
-            pstep = make_pallas_step(
-                p, c_wale=cfg.c_wale, nu_sgs_background=cfg.nu_sgs_background,
-                inlet_turbulence=cfg.inlet_turbulence_intensity,
-                wall_model=cfg.wall_model_enabled,
-                sponge_blend=cfg.sponge_blend_distributions,
-            )
-            fn = jax.jit(lambda f, v, ifc: pstep(f, v, u, seed, statics[li], ifc))
-            dt, _ = timeit(fn, st["f"], st["vel"], iface, n=args.steps)
-            per_kcell = dt / p.n_cells * 1e9
-            bw = (p.n_padded * 4 * (27 * 2 + 3 * 2 + 1 + 1 + 1 + 1)) / dt / 1e9
-            print(f"L{li} pallas step: {dt*1e6:8.1f} us | {per_kcell:6.2f} us/kcell "
-                  f"| {p.n_cells/dt/1e6:7.0f} MLUPS | ~{bw:5.0f} GB/s eff",
-                  flush=True)
+                    def body(c, t, _ps=pstep, _li=li, _if=iface0):
+                        f, v = c
+                        fo, _, vo = _ps(f, v, u, t, statics[_li], _if)
+                        return (fo, vo)
 
-        xfn = jax.jit(
-            lambda f, v, ifc: dense_stream_collide(
-                f, v, u, seed, statics[li], p,
-                c_wale=cfg.c_wale, nu_sgs_background=cfg.nu_sgs_background,
-                inlet_turbulence=cfg.inlet_turbulence_intensity,
-                wall_model=cfg.wall_model_enabled,
-                sponge_blend=cfg.sponge_blend_distributions, iface=iface,
-            )
-        )
-        dt, _ = timeit(xfn, st["f"], st["vel"], iface, n=max(args.steps // 3, 3))
-        print(f"L{li} XLA    step: {dt*1e6:8.1f} us | {dt/p.n_cells*1e9:6.2f} us/kcell "
-              f"| {p.n_cells/dt/1e6:7.0f} MLUPS", flush=True)
+                    scan_time(body, (st["f"], st["vel"]), n,
+                              f"L{li} {prec} {stage}", work_cells=p.n_cells)
+                except Exception as e:
+                    print(f"L{li} {prec} {stage}: FAILED {type(e).__name__}: "
+                          f"{str(e)[:140]}", flush=True)
 
-        if statics[li]["bouzidi"] is not None:
-            bfn = jax.jit(lambda f: apply_bouzidi_dense(f, statics[li]["bouzidi"]))
-            dt, _ = timeit(bfn, st["f"], n=args.steps)
-            print(f"L{li} bouzidi: {dt*1e6:8.1f} us", flush=True)
+    # full production coarse step, f32 vs bf16
+    for prec in (("float32", "bfloat16") if args.coarse else ()):
+        c = cfg.with_overrides(precision=prec)
+        from open_ludwig_tpu.solver_dense import make_coarse_step_dense
 
-    # --- full coarse step + scanned batch ---
-    run = make_batch_runner_dense(cfg, params, levels, statics)
-    updates = sum(p.n_cells * 2 ** (p.level_id - 1) for p in levels)
+        coarse = make_coarse_step_dense(c, params, levels, statics)
+        states = tuple(init_patch_state(p, prec) for p in levels)
+        upd = sum(p.n_cells * 2 ** (p.level_id - 1) for p in levels)
 
-    def batch20(s):
-        return run(s, np.int32(1), 20)
+        def cs_body(cr, t, _co=coarse):
+            return tuple(_co(list(cr), t))
 
-    dt, _ = timeit(batch20, states, n=3, warmup=1)
-    per_coarse = dt / 20
-    print(f"scanned coarse step: {per_coarse*1e6:8.1f} us | "
-          f"{updates/per_coarse/1e6:7.0f} MLUPS aggregate", flush=True)
+        scan_time(cs_body, states, max(n // 2, 10),
+                  f"full coarse step [{prec}]", work_cells=upd)
 
 
 if __name__ == "__main__":
