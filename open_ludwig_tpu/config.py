@@ -104,6 +104,10 @@ class CaseConfig:
     # --- advanced.forces ---
     forces_enabled: bool = True
     force_output_freq: int = 0
+    # engine extension: two-point wall-normal pressure extrapolation in the
+    # surface-stress mapping (the reference's single nearest-cell sample
+    # biases the pressure drag of streamlined bodies; see ops/forces.py)
+    force_extrapolate: bool = False
     moment_center: Tuple[float, float, float] = (0.25, 0.0, 0.0)
 
     # --- advanced.diagnostics ---
@@ -263,6 +267,7 @@ def parse_config(cfg: Dict, case_dir: str = "") -> CaseConfig:
         ),
         forces_enabled=bool(_get(cfg, "advanced", "forces", "enabled", default=True)),
         force_output_freq=int(_get(cfg, "advanced", "forces", "output_freq", default=0)),
+        force_extrapolate=bool(_get(cfg, "advanced", "forces", "extrapolate", default=False)),
         moment_center=tuple(float(v) for v in mc),
         diag_freq=int(_get(cfg, "advanced", "diagnostics", "freq", default=500)),
         stability_check=bool(

@@ -13,6 +13,25 @@ Stress model (reference: src/forces/surface.jl:32-89):
   tau  = rho * nu_lat * |u_t| / dist * (same scale), along the tangential
          velocity direction; dist = max(|cell - tri|/dx, 0.5) lattice units.
 
+Pressure extrapolation (engine extension, `advanced.forces.extrapolate`,
+default OFF = reference-parity sampling): a second sample further along the
+outward surface normal extrapolates p linearly to the wall,
+  p_wall = p1 + (p1 - p2) * d1 / (d2 - d1),   d = normal-projected distance,
+factor clamped to [0, 2], falling back to p1 without a valid second cell.
+
+Measured honestly (tools/wing_cv_probe.py, laminar Re 1e4 NACA wing at
+N=48): the mapped drag of a STREAMLINED body is wrong either way (1-point
+Cd -0.007, extrapolated -0.017, vs +0.067 from an independent
+control-volume momentum balance of the same flow; lift agrees between
+mapping and control volume).  The failure is a resolution floor of
+surface-stress sampling itself — near the thin trailing edge the nearest
+fluid cell sits on the WRONG side of the section, and near-wall bounce-back
+pressure artifacts are amplified by extrapolation.  Blunt-body (sphere)
+drag is insensitive: it is a large wake pressure difference, validated <5%
+against the reference.  The reference's expanding-shell sampling
+(src/forces/surface.jl:191-240) shares all of this; it ships no wing force
+results.
+
 Forces (reference: src/forces/surface.jl:282-366):
   dF_p = -p n A,  dF_v = tau A,  dM = r x dF about the moment center,
 with symmetry doubling of Fx/Fz/My and zeroing of Fy/Mx/Mz for half models
@@ -37,6 +56,36 @@ from ..geometry import TriMesh
 from ..scaling import DomainParams
 
 BLOCK_EDGE = 8
+
+
+def _second_sample(tc, n_hat, bc, has, dx, dims, is_fluid):
+    """Second pressure sample along the OUTWARD surface normal for wall
+    extrapolation: nearest fluid cell to the point one cell further out
+    than the first sample's normal-projected distance.  Returns
+    (cell_coords2, has2, d1n, d2n) with distances normal-projected in
+    lattice units."""
+    cc1 = (bc + 0.5) * dx
+    d1n = np.einsum("ij,ij->i", cc1 - tc, n_hat)
+    d1n = np.maximum(d1n, 0.1 * dx)  # guard: first cell on the surface plane
+    target = tc + n_hat * (d1n + 1.0 * dx)[:, None]
+    off2 = np.stack(
+        np.meshgrid(*([np.arange(-1, 2)] * 3), indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+    g2 = np.floor(target / dx).astype(np.int64)
+    cand = g2[:, None, :] + off2[None, :, :]
+    valid = np.all((cand >= 0) & (cand < dims[None, None, :]), axis=2)
+    cc = np.clip(cand, 0, dims - 1)
+    fluid = valid & is_fluid(cc)
+    cent = (cand + 0.5) * dx
+    dd = np.sum((cent - target[:, None, :]) ** 2, axis=2)
+    dd = np.where(fluid, dd, np.inf)
+    b2 = np.argmin(dd, axis=1)
+    has2 = np.isfinite(dd[np.arange(len(b2)), b2])
+    bc2 = cc[np.arange(len(b2)), b2]
+    d2n = np.einsum("ij,ij->i", (bc2 + 0.5) * dx - tc, n_hat)
+    # meaningful separation along the normal, and a distinct cell
+    has2 &= has & (d2n - d1n > 0.25 * dx) & ~np.all(bc2 == bc, axis=1)
+    return bc2, has2, d1n / dx, d2n / dx
 
 
 def build_triangle_cell_map(
@@ -80,6 +129,16 @@ def build_triangle_cell_map(
     cell_idx = np.full(n_tri, -1, np.int64)  # flat cell index b*512 + local
     wall_dist = np.full(n_tri, 0.5, np.float64)
     found = np.zeros(n_tri, bool)
+    cell_idx2 = np.zeros(n_tri, np.int64)
+    found2 = np.zeros(n_tri, bool)
+    dn1 = np.full(n_tri, 0.5, np.float64)
+    dn2 = np.full(n_tri, 1.5, np.float64)
+
+    def blk_flat(bc):
+        blk = bc // 8
+        bid = block_ptr[blk[:, 0], blk[:, 1], blk[:, 2]].astype(np.int64)
+        loc = bc % 8
+        return bid * 512 + loc[:, 2] * 64 + loc[:, 1] * 8 + loc[:, 0]
 
     for s in range(0, n_tri, chunk):
         e = min(s + chunk, n_tri)
@@ -102,19 +161,28 @@ def build_triangle_cell_map(
         best = np.argmin(d2, axis=1)
         has = np.isfinite(d2[np.arange(len(best)), best])
         bc = cc[np.arange(len(best)), best]  # (m, 3) best cell coords
-        blk = bc // 8
-        bid = block_ptr[blk[:, 0], blk[:, 1], blk[:, 2]].astype(np.int64)
-        loc = bc % 8
-        flat = bid * 512 + loc[:, 2] * 64 + loc[:, 1] * 8 + loc[:, 0]
-        cell_idx[s:e] = np.where(has, flat, 0)
+        cell_idx[s:e] = np.where(has, blk_flat(bc), 0)
         found[s:e] = has
         wd = np.sqrt(d2[np.arange(len(best)), best]) / dx
         wall_dist[s:e] = np.where(has, np.maximum(wd, 0.5), 0.5)
+
+        bc2, has2, d1n, d2n = _second_sample(
+            tc, mesh.normals[s:e], bc, has, dx, dims_cells,
+            lambda cc_: ~obstacle_d[cc_[..., 0], cc_[..., 1], cc_[..., 2]],
+        )
+        cell_idx2[s:e] = np.where(has2, blk_flat(bc2), 0)
+        found2[s:e] = has2
+        dn1[s:e] = d1n
+        dn2[s:e] = np.where(has2, d2n, d1n + 1.0)
 
     return {
         "cell_idx": cell_idx.astype(np.int32),
         "wall_dist": wall_dist.astype(np.float32),
         "found": found,
+        "cell_idx2": cell_idx2.astype(np.int32),
+        "found2": found2,
+        "dn1": dn1.astype(np.float32),
+        "dn2": dn2.astype(np.float32),
     }
 
 
@@ -135,6 +203,12 @@ class ForceContext:
     area_ref: float
     chord_ref: float
     symmetric: bool
+    # wall-normal pressure extrapolation (second sample along the normal)
+    cell_idx2: jnp.ndarray = None  # (n_tri,)
+    found2: jnp.ndarray = None  # (n_tri,) bool
+    dn1: jnp.ndarray = None  # (n_tri,) normal distance of sample 1 (lattice)
+    dn2: jnp.ndarray = None  # (n_tri,) normal distance of sample 2
+    extrapolate: bool = True
 
 
 def _report_coverage(found: np.ndarray, what: str) -> None:
@@ -152,7 +226,8 @@ def _report_coverage(found: np.ndarray, what: str) -> None:
 
 
 def make_force_context(
-    mesh: TriMesh, geo: LevelGeometry, params: DomainParams, search_radius: int = 5
+    mesh: TriMesh, geo: LevelGeometry, params: DomainParams,
+    search_radius: int = 5, extrapolate: bool = True,
 ) -> ForceContext:
     m = build_triangle_cell_map(mesh, geo, params, search_radius)
     _report_coverage(m["found"], "blocks layout")
@@ -172,17 +247,30 @@ def make_force_context(
         area_ref=float(params.reference_area),
         chord_ref=float(params.reference_chord),
         symmetric=bool(params.symmetric),
+        cell_idx2=jnp.asarray(m["cell_idx2"]),
+        found2=jnp.asarray(m["found2"]),
+        dn1=jnp.asarray(m["dn1"]),
+        dn2=jnp.asarray(m["dn2"]),
+        extrapolate=extrapolate,
     )
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
 def _surface_stresses(rho_flat, vel_flat, ctx_arrays, tau_mol, p_scale, q_inf,
-                      area_ref_chord, symmetric):
-    cell_idx, wall_dist, found, normals, areas, centers, mc = ctx_arrays
+                      area_ref_chord, symmetric, extrapolate=False):
+    (cell_idx, wall_dist, found, normals, areas, centers, mc,
+     cell_idx2, found2, dn1, dn2) = ctx_arrays
     rho_c = rho_flat[cell_idx]
     u_c = vel_flat[:, cell_idx]  # (3, n)
 
     p = (rho_c - 1.0) / 3.0 * p_scale
+    if extrapolate:
+        # linear extrapolation to the wall along the outward normal; the
+        # factor is clamped (noise amplification) and falls back to the
+        # plain sample where no valid second cell exists
+        p2 = (rho_flat[cell_idx2] - 1.0) / 3.0 * p_scale
+        fac = jnp.clip(dn1 / jnp.maximum(dn2 - dn1, 0.25), 0.0, 2.0)
+        p = jnp.where(found2, p + (p - p2) * fac, p)
     u_dot_n = jnp.sum(u_c * normals, axis=0)
     ut = u_c - u_dot_n[None, :] * normals
     ut_mag = jnp.sqrt(jnp.sum(ut * ut, axis=0))
@@ -236,6 +324,7 @@ def compute_aerodynamics(state: Dict, ctx: ForceContext) -> ForceResult:
     state (reference: src/forces/surface.jl:592-600)."""
     rho_flat = state["rho"].reshape(-1)
     vel_flat = state["vel"].reshape(3, -1)
+    extrap = bool(ctx.extrapolate) and ctx.cell_idx2 is not None
     ctx_arrays = (
         ctx.cell_idx,
         ctx.wall_dist,
@@ -244,6 +333,10 @@ def compute_aerodynamics(state: Dict, ctx: ForceContext) -> ForceResult:
         ctx.areas,
         ctx.centers,
         ctx.moment_center,
+        ctx.cell_idx2 if extrap else ctx.cell_idx,
+        ctx.found2 if extrap else ctx.found,
+        ctx.dn1 if extrap else ctx.wall_dist,
+        ctx.dn2 if extrap else ctx.wall_dist,
     )
     p, tau_vec, Fp, Fv, M = _surface_stresses(
         rho_flat,
@@ -254,6 +347,7 @@ def compute_aerodynamics(state: Dict, ctx: ForceContext) -> ForceResult:
         ctx.q_inf,
         ctx.area_ref,
         ctx.symmetric,
+        extrap,
     )
     Fp = np.asarray(Fp, np.float64)
     Fv = np.asarray(Fv, np.float64)
@@ -318,6 +412,10 @@ def build_triangle_cell_map_dense(
     cell_idx = np.zeros(n_tri, np.int64)
     wall_dist = np.full(n_tri, 0.5, np.float64)
     found = np.zeros(n_tri, bool)
+    cell_idx2 = np.zeros(n_tri, np.int64)
+    found2 = np.zeros(n_tri, bool)
+    dn1 = np.full(n_tri, 0.5, np.float64)
+    dn2 = np.full(n_tri, 1.5, np.float64)
     dims = np.array([X, Y, Z])
     for s in range(0, n_tri, chunk):
         e = min(s + chunk, n_tri)
@@ -341,15 +439,30 @@ def build_triangle_cell_map_dense(
         found[s:e] = has
         wd = np.sqrt(d2[np.arange(len(best)), best]) / dx
         wall_dist[s:e] = np.where(has, np.maximum(wd, 0.5), 0.5)
+
+        bc2, has2, d1n, d2n = _second_sample(
+            tc, mesh.normals[s:e], bc, has, dx, dims,
+            lambda cc_: ~obstacle[cc_[..., 0], cc_[..., 1], cc_[..., 2]],
+        )
+        flat2 = (bc2[:, 0] * YS + bc2[:, 1]) * ZS + bc2[:, 2]
+        cell_idx2[s:e] = np.where(has2, flat2, 0)
+        found2[s:e] = has2
+        dn1[s:e] = d1n
+        dn2[s:e] = np.where(has2, d2n, d1n + 1.0)
     return {
         "cell_idx": cell_idx.astype(np.int32),
         "wall_dist": wall_dist.astype(np.float32),
         "found": found,
+        "cell_idx2": cell_idx2.astype(np.int32),
+        "found2": found2,
+        "dn1": dn1.astype(np.float32),
+        "dn2": dn2.astype(np.float32),
     }
 
 
 def make_force_context_dense(mesh: TriMesh, patch, params: DomainParams,
-                             search_radius: int = 5) -> ForceContext:
+                             search_radius: int = 5,
+                             extrapolate: bool = True) -> ForceContext:
     m = build_triangle_cell_map_dense(mesh, patch, params, search_radius)
     _report_coverage(m["found"], "patch layout")
     offset = np.asarray(params.mesh_offset)
@@ -368,4 +481,9 @@ def make_force_context_dense(mesh: TriMesh, patch, params: DomainParams,
         area_ref=float(params.reference_area),
         chord_ref=float(params.reference_chord),
         symmetric=bool(params.symmetric),
+        cell_idx2=jnp.asarray(m["cell_idx2"]),
+        found2=jnp.asarray(m["found2"]),
+        dn1=jnp.asarray(m["dn1"]),
+        dn2=jnp.asarray(m["dn2"]),
+        extrapolate=extrapolate,
     )

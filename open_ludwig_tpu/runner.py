@@ -137,9 +137,13 @@ def solve_case(cfg: CaseConfig) -> SolveResult:
 
     if cfg.forces_enabled:
         force_ctx = (
-            make_force_context_dense(mesh, levels[-1], params)
+            make_force_context_dense(
+                mesh, levels[-1], params, extrapolate=cfg.force_extrapolate
+            )
             if dense
-            else make_force_context(mesh, levels[-1], params)
+            else make_force_context(
+                mesh, levels[-1], params, extrapolate=cfg.force_extrapolate
+            )
         )
     else:
         force_ctx = None

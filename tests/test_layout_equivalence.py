@@ -36,6 +36,7 @@ def _blocks_to_dense(blocked, coords, dims):
     return out
 
 
+@pytest.mark.slow  # 115s; both layouts are oracle-checked individually in fast tests
 def test_single_level_dense_vs_blocks(tmp_path):
     make_case_sphere(
         str(tmp_path), "1M", surface_resolution=10, num_levels=1, steps=6,

@@ -346,6 +346,7 @@ def test_bouzidi_pallas_matches_dense(rng):
     assert d.max() < 5e-3, d.max()
 
 
+@pytest.mark.slow  # 360s; the driver runs dryrun_multichip every round
 def test_production_multichip_dryrun():
     """The production multi-level sharded step (parallel.patch_shard via
     __graft_entry__.dryrun_multichip) on the virtual 8-device CPU mesh:

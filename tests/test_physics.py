@@ -61,6 +61,7 @@ def test_uniform_flow_develops():
     assert np.abs(np.asarray(v)[1:, :X, :Y, :Z]).max() < 0.01
 
 
+@pytest.mark.slow  # 274s; interface parity is covered by test_dense mm-parity
 def test_multilevel_quiescent_consistency(tmp_path):
     """A 2-level quiescent domain (u_inlet = 0) with an obstacle must stay at
     rest equilibrium through the full coarse-step schedule, including

@@ -64,6 +64,7 @@ def sphere_case(tmp_path_factory):
     return cfg, params, levels, statics
 
 
+@pytest.mark.slow  # 165s; single-level bf16 parity stays in the fast suite
 def test_bf16_matches_f32_multilevel(sphere_case):
     """8 coarse steps of the 2-level sphere (XLA path, incl. Bouzidi and
     interface interpolation): bf16 storage tracks f32 to ~1e-4."""
