@@ -562,6 +562,7 @@ def interface_planes_pair_mm(
     use_temporal: bool,
     g_shifted: bool = False,
     out_dtype=jnp.float32,
+    pair_layout: bool = False,
 ) -> Dict[int, jnp.ndarray]:
     """interface_planes_pair computed via the precomputed linear operators of
     build_iface_mm_plan — identical math (endpoint slabs -> temporal blend ->
@@ -569,7 +570,13 @@ def interface_planes_pair_mm(
     all the linear stages collapsed into one einsum per field and the whole
     nonlinear tail a single fusable elementwise DAG per axis group.  Output
     layout matches interface_planes_pair: face -> (n_w, 27, A, B) for x
-    faces, x-rows leading (n_w, A, 27, B) for y/z faces."""
+    faces, x-rows leading (n_w, A, 27, B) for y/z faces.
+
+    With `pair_layout`, the per-face/per-sub-step splits are skipped: each
+    face maps to (group_array, face_index) where group_array keeps the
+    (nf, nw, ...) axes — the Pallas kernel block-specs straight into it
+    (face + sub-step selected by index_map), which deletes the split
+    slices and their relayout copies from the XLA graph."""
     tau_c = parent.tau - 0.5
     tau_f = patch.tau - 0.5
     scale = float(np.clip(tau_f / tau_c, 0.01, 100.0)) if tau_c > 1e-6 else 1.0
@@ -735,7 +742,7 @@ def interface_planes_pair_mm(
         else:
             plane = plane.reshape(nf, nw, A, 27, B)
         for i, face in enumerate(grp["faces"]):
-            out[face] = plane[i]
+            out[face] = (plane, i) if pair_layout else plane[i]
     return out
 
 

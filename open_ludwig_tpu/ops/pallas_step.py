@@ -48,6 +48,13 @@ from . import collide_math as cm
 
 _SLOTS = 4
 
+# declared-VMEM headroom for the step kernel: limit = est * SCALE + PAD.
+# XLA reserves the declared limit while scheduling; declaring tighter frees
+# alternate-memory space for MSA to pin more loop-carried state in VMEM.
+# Trace-time constants (A/B hook).
+VMEM_DECL_SCALE = 1.5
+VMEM_DECL_PAD = 12 * 2**20
+
 
 def make_bouzidi_pallas(plan: Dict, shape, f_dtype, interpret: bool = False):
     """In-place Bouzidi correction as one tiny Pallas kernel.
@@ -250,6 +257,12 @@ def make_pallas_step(
     # measured SLOWER on v5e: the (27, M) reshapes around the matmuls force
     # full VMEM relayouts that outweigh the vector ops saved (641 vs 482
     # us/step on the Re1M finest level) — kept as a tested option
+    iface_pair: bool = False,  # ghost planes arrive in the einsum-native
+    # pair layout (interface_planes_pair_mm(pair_layout=True)): per face a
+    # (group_array, face_index) tuple whose (nf, nw, ...) leading axes are
+    # selected by the BlockSpec index_map (face statically, sub-step from a
+    # scalar-prefetch register) — the per-face/per-sub-step split slices and
+    # their relayout copies never exist in the XLA graph
     _stage: str = "full",  # perf dissection hook (tools/perf_probe):
     #   "full" = production, "nocollide" = stream+DMA only, "copy" = DMA only
     _skip_x_bc: bool = False,  # perf dissection only: drop the x-face BC
@@ -317,6 +330,8 @@ def make_pallas_step(
     ):
         if sharded:
             xoff_ref, *pre_rest = pre_rest
+        if iface_pair:
+            _nsub_ref, *pre_rest = pre_rest  # consumed by index_maps only
         f_hbm, vel_hbm = pre_rest[0], pre_rest[1]  # ANY (manual DMA)
         # (PX, YS, ZS) VMEM blocks
         obstacle_ref, sponge_ref, wall_ref = pre_rest[2:5]
@@ -412,10 +427,12 @@ def make_pallas_step(
                 if face // 2 == 0:
                     # upcast before the dim insert: planes may arrive bf16
                     # and Mosaic only supports minor-dim inserts on 32-bit
-                    return pr[k].astype(jnp.float32)[None, :, :]
+                    row = pr[0, 0, k] if iface_pair else pr[k]
+                    return row.astype(jnp.float32)[None, :, :]
                 # y/z faces arrive as this chunk's (PX, 27, B) BlockSpec
                 # window — static reads only
-                rows = pr[:, k, :].astype(jnp.float32)  # (PX, B)
+                rows = pr[0, 0, :, k, :] if iface_pair else pr[:, k, :]
+                rows = rows.astype(jnp.float32)  # (PX, B)
                 if face // 2 == 1:
                     return rows[:, None, :]  # bcast over Y
                 return rows[:, :, None]  # bcast over Z
@@ -565,11 +582,16 @@ def make_pallas_step(
         rho_ref[:] = rho_out
         velout_ref[:] = vel_out
 
+    n_scalar = 2 + (1 if sharded else 0) + (1 if iface_pair else 0)
+
     def step(f, vel, u_inlet, t_seed, statics3d, iface: Optional[Dict] = None,
-             edges=None, x_off=None):
+             edges=None, x_off=None, nsub=None):
         """`iface` planes must already be in the pre-shifted class-permuted
         layout (dense_step.interface_planes_pair / prep_iface_pallas), in the
-        same space as the state (g = f - w when step.g_native).
+        same space as the state (g = f - w when step.g_native).  With
+        iface_pair, each face maps to (group_array, face_index) from
+        interface_planes_pair_mm(pair_layout=True) and `nsub` is the
+        sub-step plane index (clamped to n_w - 1 by the caller).
 
         With shard_nx > 1 (inside shard_map): f/vel/statics/y-z-face planes
         are the LOCAL x-slab, `edges` = (f_edges (27, 2, YS, ZS) in storage
@@ -581,7 +603,20 @@ def make_pallas_step(
         iface_vals = []
         for fc in need_iface:
             v = iface[fc]
-            if fc // 2 == 0:
+            if iface_pair:
+                v, fi = v
+                # index_map args: (i, *scalar_refs); nsub is the LAST scalar
+                if fc // 2 == 0:
+                    iface_specs.append(pl.BlockSpec(
+                        (1, 1) + v.shape[2:],
+                        lambda i, *s, _fi=fi: (_fi, s[-1][0], 0, 0, 0),
+                    ))
+                else:
+                    iface_specs.append(pl.BlockSpec(
+                        (1, 1, PX, 27, v.shape[-1]),
+                        lambda i, *s, _fi=fi: (_fi, s[-1][0], i, 0, 0),
+                    ))
+            elif fc // 2 == 0:
                 iface_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             else:
                 # x-rows lead (XS, 27, B): deliver this chunk's PX-row window
@@ -593,7 +628,7 @@ def make_pallas_step(
             iface_vals.append(v)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3 if sharded else 2,
+            num_scalar_prefetch=n_scalar,
             grid=(NCH,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # f
@@ -625,7 +660,13 @@ def make_pallas_step(
             _SLOTS * (27 * f_bytes + 3 * 4) * plane  # rotating DMA windows
             + 2 * (1 + 4 + 4) * plane  # pipelined static in-blocks
             + 2 * (27 * f_bytes + 4 + 3 * 4) * plane  # pipelined out-blocks
-            + sum(int(np.prod(v.shape)) * v.dtype.itemsize for v in iface_vals)
+            # ghost planes: only the selected (face, sub-step) block is
+            # VMEM-resident in pair layout
+            + sum(
+                int(np.prod(v.shape[2:] if iface_pair else v.shape))
+                * v.dtype.itemsize
+                for v in iface_vals
+            )
         )
         fo, rho, vo = pl.pallas_call(
             kernel,
@@ -636,13 +677,13 @@ def make_pallas_step(
                 jax.ShapeDtypeStruct((3, XL, YS, ZS), jnp.float32),
             ],
             # f's flattened-input index (the scalar-prefetch args count)
-            input_output_aliases={(3 if sharded else 2): 0} if alias_f else {},
+            input_output_aliases={n_scalar: 0} if alias_f else {},
             compiler_params=pltpu.CompilerParams(
                 # declare close to actual use: XLA reserves the declared
                 # limit during scheduling, and over-declaring starves other
                 # kernels of VMEM (observed program-level OOM on Re10M)
                 vmem_limit_bytes=min(
-                    100 * 2**20, int(est * 1.5) + 12 * 2**20
+                    100 * 2**20, int(est * VMEM_DECL_SCALE) + VMEM_DECL_PAD
                 ),
             ),
             interpret=interpret,
@@ -651,6 +692,11 @@ def make_pallas_step(
             jnp.asarray(t_seed, jnp.int32).reshape(1),
             *(
                 (jnp.asarray(x_off, jnp.int32).reshape(1),) if sharded else ()
+            ),
+            *(
+                (jnp.asarray(0 if nsub is None else nsub,
+                             jnp.int32).reshape(1),)
+                if iface_pair else ()
             ),
             f,
             vel,
@@ -669,4 +715,5 @@ def make_pallas_step(
     # callers must deliver interface ghost planes in the same space as the
     # state (g = f - w when g_native); interface_from_endpoints(g_shifted=...)
     step.g_native = g_native
+    step.iface_pair = iface_pair
     return step

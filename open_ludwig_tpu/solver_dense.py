@@ -111,7 +111,9 @@ def _shard_map_pstep(pstep, patch: PatchLevel, mesh):
         fc for fc in range(6) if patch.face_bc[fc] == BC_INTERFACE
     )
 
-    def local(f, vel, u_inlet, t_seed, st3d, iface):
+    pair = getattr(pstep, "iface_pair", False)
+
+    def local(f, vel, u_inlet, t_seed, nsub, st3d, arrs, _fis):
         me = jax.lax.axis_index("x")
         fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
         bwd = [((i + 1) % n_dev, i) for i in range(n_dev)]
@@ -124,9 +126,13 @@ def _shard_map_pstep(pstep, patch: PatchLevel, mesh):
             [jax.lax.ppermute(vel[:, -1], "x", fwd),
              jax.lax.ppermute(vel[:, 0], "x", bwd)], axis=1
         )
+        iface_k = (
+            {fc: (arrs[fc], _fis[fc]) for fc in arrs} if pair else arrs
+        )
+        kw = {"nsub": nsub} if pair else {}
         return pstep(
-            f, vel, u_inlet, t_seed, st3d, iface,
-            edges=(f_edges, v_edges), x_off=me * XL,
+            f, vel, u_inlet, t_seed, st3d, iface_k,
+            edges=(f_edges, v_edges), x_off=me * XL, **kw,
         )
 
     x4 = P(None, "x", None, None)
@@ -134,29 +140,42 @@ def _shard_map_pstep(pstep, patch: PatchLevel, mesh):
     st3d_spec = {"obstacle_u8": x3, "sponge3d": x3, "wall3d": x3}
     # ghost planes: x-faces are whole (27, YS, ZS) planes consumed by the
     # first/last chunk only (replicate); y/z faces are x-row-major
-    # (XS, 27, B) and slab-shard with the state
-    iface_spec = {
-        fc: (P(None, None, None) if fc // 2 == 0 else x3)
-        for fc in need_iface
-    }
-    sm = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(x4, x4, P(), P(), st3d_spec, iface_spec),
-        out_specs=(x4, x3, x4),
-        check_vma=False,
-    )
+    # (XS, 27, B) and slab-shard with the state.  Pair layout adds the
+    # (nf, nw) leading axes (replicated).
+    if pair:
+        iface_spec = {
+            fc: (P() if fc // 2 == 0 else P(None, None, "x", None, None))
+            for fc in need_iface
+        }
+    else:
+        iface_spec = {
+            fc: (P(None, None, None) if fc // 2 == 0 else x3)
+            for fc in need_iface
+        }
 
-    def step(f, vel, u_inlet, t_seed, statics3d, iface=None):
+    def step(f, vel, u_inlet, t_seed, statics3d, iface=None, nsub=None):
         st3d = {k: statics3d[k] for k in st3d_spec}
+        iface = iface or {}
+        fis = {fc: v[1] for fc, v in iface.items()} if pair else {}
+        arrs = {fc: (v[0] if pair else v) for fc, v in iface.items()}
+        sm = shard_map(
+            partial(local, _fis=fis),
+            mesh=mesh,
+            in_specs=(x4, x4, P(), P(), P(), st3d_spec,
+                      {fc: iface_spec[fc] for fc in arrs}),
+            out_specs=(x4, x3, x4),
+            check_vma=False,
+        )
         return sm(
             f, vel,
             jnp.asarray(u_inlet, jnp.float32),
             jnp.asarray(t_seed, jnp.int32),
-            st3d, iface or {},
+            jnp.asarray(0 if nsub is None else nsub, jnp.int32),
+            st3d, arrs,
         )
 
     step.g_native = getattr(pstep, "g_native", False)
+    step.iface_pair = pair
     return step
 
 
@@ -194,6 +213,11 @@ def make_coarse_step_dense(
                 store_bf16=store_bf16,
                 interpret=interpret,
                 shard_nx=shard_nx,
+                # ghost planes ride in the einsum-native pair layout (the
+                # per-face/per-sub-step splits and their relayout copies
+                # never exist); frozen-iface dissection keeps the legacy
+                # per-face layout
+                iface_pair=_iface_mode == "real",
                 # in-place f update on every level: parents' pre-step
                 # state is only consumed by the child-interface slab
                 # slices, which XLA schedules before the clobbering
@@ -281,7 +305,7 @@ def make_coarse_step_dense(
         states = list(states)
         u_curr = ramp_velocity(t, cfg.u_lattice, cfg.ramp_steps)
 
-        def visit(lvl: int, t_sub, iface):
+        def visit(lvl: int, t_sub, iface, nsub: int = 0):
             patch = patches[lvl]
             static = (
                 statics[lvl] if _arrs is None
@@ -290,8 +314,9 @@ def make_coarse_step_dense(
             st = states[lvl]
             seed = (t_sub % 1000000).astype(jnp.int32)
             if psteps[lvl] is not None:
+                kw = {"nsub": nsub} if _iface_mode == "real" else {}
                 f_new, rho_new, vel_new = psteps[lvl](
-                    st["f"], st["vel"], u_curr, seed, static, iface
+                    st["f"], st["vel"], u_curr, seed, static, iface, **kw
                 )
             else:
                 f_new, rho_new, vel_new = dense_stream_collide(
@@ -335,9 +360,14 @@ def make_coarse_step_dense(
                         out_dtype=(
                             jnp.bfloat16 if g_native[lvl + 1] else jnp.float32
                         ),
+                        pair_layout=True,
                     )
-                    if_a = {fc: v[0] for fc, v in planes.items()}
-                    if_b = {fc: v[-1] for fc, v in planes.items()}
+                    # both sub-steps consume the SAME pair arrays; the
+                    # sub-step plane is picked by the kernel's index_map
+                    visit(lvl + 1, 2 * t_sub, planes, 0)
+                    visit(lvl + 1, 2 * t_sub + 1, planes,
+                          1 if use_temporal else 0)
+                    return
                 else:
                     if use_temporal:
                         ep_old, ep_new = interface_endpoints_pair(
