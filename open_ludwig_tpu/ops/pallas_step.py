@@ -55,6 +55,9 @@ _SLOTS = 4
 VMEM_DECL_SCALE = 1.5
 VMEM_DECL_PAD = 12 * 2**20
 
+# per-level PX override (trace-time A/B hook): {level_id: PX}
+PX_OVERRIDE = {}
+
 
 def make_bouzidi_pallas(plan: Dict, shape, f_dtype, interpret: bool = False):
     """In-place Bouzidi correction as one tiny Pallas kernel.
@@ -300,6 +303,8 @@ def make_pallas_step(
     # bounded by the VMEM window budget
     if planes_per_step:
         PX = planes_per_step
+    elif PX_OVERRIDE.get(patch.level_id):
+        PX = PX_OVERRIDE[patch.level_id]  # trace-time A/B hook
     else:
         PX = 1
         for cand in (8, 4, 2):  # PX=10/6 on the 60-plane level measured

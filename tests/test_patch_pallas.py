@@ -360,3 +360,46 @@ def test_production_multichip_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_pair_layout_coarse_matches_xla(tmp_path):
+    """The production multi-level coarse step with pair-layout ghost planes
+    (Pallas interpret) must match the XLA dense path on interior cells —
+    guards the einsum-pair BlockSpec index_map plumbing end to end."""
+    import jax.numpy as jnp
+
+    from open_ludwig_tpu.cases import make_case_sphere
+    from open_ludwig_tpu.config import load_case_config
+    from open_ludwig_tpu.geometry import load_mesh
+    from open_ludwig_tpu.scaling import compute_domain_params
+    from open_ludwig_tpu import solver_dense as sd
+
+    d = str(tmp_path)
+    make_case_sphere(d, "1M", surface_resolution=12, num_levels=2, steps=4,
+                     ramp_steps=2, output_freq=100, diag_freq=100,
+                     wake_enabled=False, boundary_method="bounce_back")
+    cfg = load_case_config(d)
+    tri = load_mesh(cfg.stl_path, scale=cfg.stl_scale)
+    params = compute_domain_params(cfg, tri.min_bounds, tri.max_bounds)
+    patches = build_patches(cfg, tri, params)
+    statics = sd.build_patch_statics(cfg, patches)
+    s0 = [sd.init_patch_state(p) for p in patches]
+    arrs = sd.statics_arg_arrays(statics)
+    csP = sd.make_coarse_step_dense(cfg, params, patches, statics,
+                                    use_pallas=True)
+    csX = sd.make_coarse_step_dense(cfg, params, patches, statics,
+                                    use_pallas=False)
+    sP = [dict(x) for x in s0]
+    sX = [dict(x) for x in s0]
+    jP = jax.jit(lambda s, t, a: csP(list(s), t, a))
+    jX = jax.jit(lambda s, t, a: csX(list(s), t, a))
+    for t in range(1, 3):
+        sP = jP(sP, jnp.int32(t), arrs)
+        sX = jX(sX, jnp.int32(t), arrs)
+    for li, p in enumerate(patches):
+        X, Y, Z = p.interior
+        df = np.abs(
+            np.asarray(sP[li]["f"], np.float32)[:, :X, :Y, :Z]
+            - np.asarray(sX[li]["f"], np.float32)[:, :X, :Y, :Z]
+        ).max()
+        assert df < 2e-5, (li, df)
