@@ -1005,12 +1005,21 @@ def build_bouzidi_dense_plan(patch: PatchLevel, q_min: float) -> Optional[Dict]:
     cy = bz.cell_gy - lo[1]
     cz = bz.cell_gz - lo[2]
 
-    # Compact two-array encoding with the x_ff-outside fallback folded in:
-    #   val = A*f[k](cell) + |B| * (f[opp_k](cell) if B < 0 else f[k](cell+c_opp))
-    # B's sign encodes the q >= 0.5 branch; cells with no link have A = B = 0
-    # and "active" is A > 0 (A = min(2q, 1/(2q)) > 0 on a link).
-    A = np.zeros((27,) + bdim, np.float32)
-    B = np.zeros((27,) + bdim, np.float32)
+    # Compact ONE-array encoding (the Bouzidi link coefficients always sum
+    # to 1, so only the f[k](cell) weight a and a branch bit are needed):
+    #   val = |S|*f[k](cell) + (1-|S|) * (f[opp_k](cell) if S < 0
+    #                                     else f[k](cell+c_opp))
+    # S's sign encodes the q >= 0.5 branch; cells with no link have S = 0.
+    # Identities per branch (reference: src/bouzidi_kernel.jl:38-88):
+    #   q < 0.5 inside : a = 2q,        other = f[k]@x_ff,  coef 1-2q  = 1-a
+    #   q < 0.5 outside: a = 1 (folded fallback), coef 0
+    #   q >= 0.5       : a = 1/(2q),    other = f[opp_k],   coef (2q-1)/(2q)
+    # Relative to the retired (A, B) pair this halves the coefficient HBM
+    # traffic per correction (re-read every fine sub-step) and makes
+    # a + (1-a) = 1 EXACT even when S is stored bf16 — the rest-state /
+    # g-shift invariance no longer depends on rounding two numbers the
+    # same way.
+    S = np.zeros((27,) + bdim, np.float32)
     for k in range(27):
         if k == 13:
             continue
@@ -1029,19 +1038,17 @@ def build_bouzidi_dense_plan(patch: PatchLevel, q_min: float) -> Optional[Dict]:
         inside = (
             (gx >= 0) & (gx < X) & (gy >= 0) & (gy < Y) & (gz >= 0) & (gz < Z)
         )
-        a = np.where(lo_case, 2.0 * qs, 1.0 / (2.0 * qs))
-        blo = np.where(lo_case, 1.0 - 2.0 * qs, 0.0)
-        bhi = np.where(lo_case, 0.0, (2.0 * qs - 1.0) / (2.0 * qs))
-        A[k, x, y, z] = a + np.where(inside, 0.0, blo)
-        B[k, x, y, z] = np.where(lo_case, np.where(inside, blo, 0.0), -bhi)
+        # lo outside: a + (1-2q) fallback weight on f[k](cell) collapses to 1
+        a = np.where(
+            lo_case, np.where(inside, 2.0 * qs, 1.0), 1.0 / (2.0 * qs)
+        )
+        S[k, x, y, z] = np.where(lo_case, a, -a)
     return {
         "lo": tuple(int(v) for v in lo),
         "dim": bdim,
-        # f32 canonically: the XLA path on raw-f storage needs a + |b| = 1
-        # exactly to hold the rest state (g-storage is shift-invariant, so the
-        # Pallas kernel may downcast them to bf16 when f is stored bf16)
-        "A": jnp.asarray(A),
-        "B": jnp.asarray(B),
+        # f32 canonically; the Pallas kernel downcasts to bf16 on bf16
+        # storage (coefficient-sum exactness is encoding-guaranteed now)
+        "S": jnp.asarray(S),
     }
 
 
@@ -1065,12 +1072,12 @@ def apply_bouzidi_dense(f_out: jnp.ndarray, plan: Dict) -> jnp.ndarray:
         cxk, cyk, czk = int(lat.C_X[k]), int(lat.C_Y[k]), int(lat.C_Z[k])
         # f[k] at cell + c_opp = roll by +c (roll(a, s)[i] = a[i - s])
         ff = jnp.roll(box[k], (cxk, cyk, czk), axis=(0, 1, 2))
-        a = plan["A"][k].astype(jnp.float32)
-        b = plan["B"][k].astype(jnp.float32)
-        other = jnp.where(b < 0, box[j].astype(jnp.float32),
+        s = plan["S"][k].astype(jnp.float32)
+        a = jnp.abs(s)
+        other = jnp.where(s < 0, box[j].astype(jnp.float32),
                           ff.astype(jnp.float32))
-        val = (a * box[k].astype(jnp.float32) + jnp.abs(b) * other
+        val = (a * box[k].astype(jnp.float32) + (1.0 - a) * other
                ).astype(box.dtype)
-        rows.append(jnp.where(a > 0, val, box[j]))
+        rows.append(jnp.where(s != 0, val, box[j]))
     new_box = jnp.stack(rows)
     return jax.lax.dynamic_update_slice(f_out, new_box, (0, lx, ly, lz))

@@ -70,14 +70,14 @@ def make_bouzidi_pallas(plan: Dict, shape, f_dtype, interpret: bool = False):
     (input_output_aliases) — one dispatch, no full-f copy.
 
     Same math as apply_bouzidi_dense (reference: src/bouzidi_kernel.jl:38-88),
-    exactly form-invariant on bf16 g-storage (coefficients sum to 1).
+    exactly form-invariant on bf16 g-storage (coefficients sum to 1 by the
+    signed single-array encoding — see build_bouzidi_dense_plan).
     """
     lx, ly, lz = plan["lo"]
     bx, by, bz = plan["dim"]
-    A_np = np.asarray(plan["A"], np.float32)
-    B_np = np.asarray(plan["B"], np.float32)
+    S_np = np.asarray(plan["S"], np.float32)
 
-    def kernel(a_ref, b_ref, f_ref, out_ref, box_ref, row_ref, sem, rsem):
+    def kernel(s_ref, f_ref, out_ref, box_ref, row_ref, sem, rsem):
         cp_in = pltpu.make_async_copy(
             f_ref.at[:, pl.ds(lx, bx), pl.ds(ly, by), pl.ds(lz, bz)],
             box_ref, sem,
@@ -107,15 +107,15 @@ def make_bouzidi_pallas(plan: Dict, shape, f_dtype, interpret: bool = False):
             if cxk:
                 ff = jnp.roll(ff, cxk, axis=0)
             ff = _shift2d(ff, cyk, czk)
-            a = a_ref[k].astype(jnp.float32)
-            b = b_ref[k].astype(jnp.float32)
-            other = jnp.where(b < 0, box_ref[j].astype(jnp.float32),
+            s = s_ref[k].astype(jnp.float32)
+            a = jnp.abs(s)
+            other = jnp.where(s < 0, box_ref[j].astype(jnp.float32),
                               ff.astype(jnp.float32))
-            val = (a * box_ref[k].astype(jnp.float32) + jnp.abs(b) * other
+            val = (a * box_ref[k].astype(jnp.float32) + (1.0 - a) * other
                    ).astype(f_dtype)
             if slot in pending:
                 row_dma(slot, pending.pop(slot)).wait()
-            row_ref[slot] = jnp.where(a > 0, val, box_ref[j])
+            row_ref[slot] = jnp.where(s != 0, val, box_ref[j])
             row_dma(slot, j).start()
             pending[slot] = j
             slot = 1 - slot
@@ -124,9 +124,9 @@ def make_bouzidi_pallas(plan: Dict, shape, f_dtype, interpret: bool = False):
 
     bf16 = f_dtype == jnp.bfloat16
     box_elems = 27 * bx * by * bz
-    # A/B coefficient VMEM inputs + the box scratch + the 2-row out buffer
+    # S coefficient VMEM input + the box scratch + the 2-row out buffer
     box_bytes = (
-        2 * box_elems * (2 if bf16 else 4)  # coefficients (coef_t)
+        box_elems * (2 if bf16 else 4)  # coefficients (coef_t)
         + box_elems * (2 if bf16 else 4)  # box scratch (f_dtype)
         + 2 * bx * by * bz * (2 if bf16 else 4)
     )
@@ -134,12 +134,11 @@ def make_bouzidi_pallas(plan: Dict, shape, f_dtype, interpret: bool = False):
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(shape, f_dtype),
-        input_output_aliases={2: 0},
+        input_output_aliases={1: 0},
         scratch_shapes=[
             pltpu.VMEM((27, bx, by, bz), f_dtype),
             pltpu.VMEM((2, bx, by, bz), f_dtype),
@@ -156,20 +155,20 @@ def make_bouzidi_pallas(plan: Dict, shape, f_dtype, interpret: bool = False):
         ),
         interpret=interpret,
     )
-    # bf16 coefficients only on bf16 g-storage, where the correction is
-    # shift-invariant and the rest state is exact zeros; raw f32 storage
-    # needs f32 coefficients so a + |b| = 1 holds exactly at rest
+    # bf16 coefficients on bf16 g-storage (halves the per-sub-step DMA); the
+    # signed encoding keeps a + (1-a) = 1 exact either way, but raw f32
+    # storage keeps f32 coefficients so the wall position (q) is not
+    # bf16-quantized on the higher-precision path
     coef_t = jnp.bfloat16 if f_dtype == jnp.bfloat16 else jnp.float32
-    a_dev = jnp.asarray(A_np, coef_t)
-    b_dev = jnp.asarray(B_np, coef_t)
+    s_dev = jnp.asarray(S_np, coef_t)
 
-    def apply(f, A=None, B=None):
-        """A/B override lets the caller feed the coefficients as traced jit
-        arguments instead of closure constants (big closure arrays inline
+    def apply(f, S=None):
+        """S override lets the caller feed the coefficients as a traced jit
+        argument instead of a closure constant (big closure arrays inline
         into the HLO as literals)."""
-        if A is None:
-            return call(a_dev, b_dev, f)
-        return call(A.astype(coef_t), B.astype(coef_t), f)
+        if S is None:
+            return call(s_dev, f)
+        return call(S.astype(coef_t), f)
 
     return apply
 
@@ -255,6 +254,19 @@ def make_pallas_step(
     # the slab ends), and keys every boundary-condition mask on the GLOBAL
     # x coordinate via an x-offset scalar (multi-chip per SURVEY.md §2.6:
     # halo exchange over ICI instead of the reference's single-GPU design)
+    bz_plan: Optional[Dict] = None,  # fold the Bouzidi correction into this
+    # kernel's chunk pipeline (build_bouzidi_dense_plan box).  The correction
+    # reads POST-collision neighbors across chunk boundaries, so f's output
+    # leaves through a manual 2-slot VMEM ring with a ONE-CHUNK write delay:
+    # chunk ci's stream+collide output parks in the ring, chunk ci-1 is
+    # corrected in place (its +x neighbor plane = the fresh chunk's first
+    # plane, its -x neighbor plane = a saved pre-correction edge) and only
+    # then DMA'd to HBM.  Replaces the separate per-sub-step Bouzidi kernel
+    # dispatch and its full box f re-read/re-write (the coefficients ride in
+    # chunk-sized slabs, double-buffered like the stream window).  Only
+    # engaged when the box's chunk range is interior ([1, NCH-2]); the
+    # builder falls back to the standalone kernel otherwise
+    # (step.bz_folded says which).
     use_mxu: bool = False,  # moment-space collision (two MXU matmuls) instead
     # of the per-direction unrolled loops; same physics (collide_math) but
     # measured SLOWER on v5e: the (27, M) reshapes around the matmuls force
@@ -328,6 +340,31 @@ def make_pallas_step(
     assert XL % PX == 0, (XL, PX)
     NCH = XL // PX
 
+    # ---- Bouzidi fold-in geometry (see the bz_plan parameter note) ----
+    bzf = None
+    if bz_plan is not None and _stage == "full" and not sharded \
+            and not use_mxu:
+        _blo, _bdim = bz_plan["lo"], bz_plan["dim"]
+        c_lo, c_hi = _blo[0] // PX, (_blo[0] + _bdim[0] - 1) // PX
+        # interior chunk range: correcting chunk c_lo needs chunk c_lo-1's
+        # saved edge plane, correcting c_hi needs chunk c_hi+1's fresh
+        # output — both must exist.  (Strictly only LINKED cells at the
+        # extreme rows need the neighbor plane, but the box is already
+        # bbox(links)+1 so this conservative guard costs at most one chunk.)
+        if 1 <= c_lo and c_hi <= NCH - 2:
+            coef_t = jnp.bfloat16 if store_bf16 else jnp.float32
+            spx = (c_hi - c_lo + 1) * PX
+            S_np = np.zeros((27, spx) + tuple(_bdim[1:]), np.float32)
+            x0 = _blo[0] - c_lo * PX
+            S_np[:, x0 : x0 + _bdim[0]] = np.asarray(bz_plan["S"], np.float32)
+            bzf = {
+                "c_lo": c_lo, "c_hi": c_hi,
+                "oy": _blo[1], "by": _bdim[1],
+                "oz": _blo[2], "bz": _bdim[2],
+                "spad": jnp.asarray(S_np, coef_t),
+                "coef_t": coef_t,
+            }
+
     need_iface = tuple(fc for fc in range(6) if fb[fc] == BC_INTERFACE)
 
     def kernel(
@@ -351,8 +388,16 @@ def make_pallas_step(
         if sharded:
             fe_ref, ve_ref = rest[off], rest[off + 1]  # (27|3, 2, YS, ZS)
             off += 2
+        spad_ref = None
+        if bzf is not None:
+            spad_ref = rest[off]  # (27, spx, by, bz) in HBM (manual DMA)
+            off += 1
         fout_ref, rho_ref, velout_ref = rest[off : off + 3]
-        fwin, vwin, sems = rest[off + 3 :]
+        if bzf is None:
+            fwin, vwin, sems = rest[off + 3 :]
+        else:
+            (fwin, vwin, sems,
+             oring, plane_sc, sbuf, ssem, fsem) = rest[off + 3 :]
 
         ci = pl.program_id(0)
         lix3 = jax.lax.broadcasted_iota(jnp.int32, (PX, YS, ZS), 0) + ci * PX
@@ -395,6 +440,20 @@ def make_pallas_step(
         @pl.when((ci >= 1) & (ci + 1 <= NCH - 1))
         def _await_next():
             wait_dma(ci + 1)
+
+        if bzf is not None:
+            def flush_dma(slot, P):
+                return pltpu.make_async_copy(
+                    oring.at[slot],
+                    fout_ref.at[:, pl.ds(P * PX, PX)],
+                    fsem.at[slot],
+                )
+
+            @pl.when(ci >= 2)
+            def _ring_drain():
+                # chunk ci-2's flush (started last invocation) reads ring
+                # slot ci%2 — drain before this chunk's output lands there
+                flush_dma(ci % 2, ci - 2).wait()
 
         u_inlet = u_ref[0]
         t_seed = seed_ref[0]
@@ -582,15 +641,117 @@ def make_pallas_step(
                 streamed, nbrs, obstacle_ref[:] != 0,
                 sponge_ref[:], wall_ref[:], u_inlet, **kw,
             )
-        for k in range(27):
-            fout_ref[k] = enc(f_out[k], k)
+        if bzf is None:
+            for k in range(27):
+                fout_ref[k] = enc(f_out[k], k)
+            rho_ref[:] = rho_out
+            velout_ref[:] = vel_out
+            return
         rho_ref[:] = rho_out
         velout_ref[:] = vel_out
+
+        # ---- Bouzidi fold-in epilogue (see the bz_plan parameter note) ----
+        c_lo, c_hi = bzf["c_lo"], bzf["c_hi"]
+        oy, by = bzf["oy"], bzf["by"]
+        oz, bz_ = bzf["oz"], bzf["bz"]
+        ring_w = oring.at[ci % 2]
+        for k in range(27):
+            ring_w[k] = enc(f_out[k], k)
+
+        def in_box(P):
+            return (P >= c_lo) & (P <= c_hi)
+
+        def s_dma(slot, P):
+            return pltpu.make_async_copy(
+                spad_ref.at[:, pl.ds((P - c_lo) * PX, PX)],
+                sbuf.at[slot], ssem.at[slot],
+            )
+
+        @pl.when(in_box(ci))
+        def _s_prefetch():
+            # coefficients for correcting THIS chunk next invocation, and
+            # its predecessor's pre-correction edge plane for the +x pulls
+            s_dma(ci % 2, ci).start()
+            pp = oring.at[(ci - 1) % 2]
+            plane_sc[(ci - 1) % 2] = pp[:, PX - 1, oy : oy + by, oz : oz + bz_]
+
+        P = ci - 1
+
+        @pl.when(P >= 0)
+        def _correct_and_flush():
+            @pl.when(in_box(P))
+            def _correct():
+                s_dma(P % 2, P).wait()
+                rp = oring.at[P % 2]  # chunk being corrected (in place)
+                rc = oring.at[ci % 2]  # fresh chunk: +x neighbor planes
+                sb = sbuf.at[P % 2]
+                prev = plane_sc.at[(P - 1) % 2]
+
+                def slab(ref, k):
+                    return ref[k, :, oy : oy + by, oz : oz + bz_]
+
+                def shifted(ref, k):
+                    """f*[k] at cell + c_opp (= roll by +c), x across chunks:
+                    row 0 pulls the saved pre-correction edge of chunk P-1,
+                    row PX-1 pulls the fresh (uncorrected) chunk P+1."""
+                    cx = int(lat.C_X[k])
+                    cy, cz = int(lat.C_Y[k]), int(lat.C_Z[k])
+                    b = slab(ref, k)
+                    if cx == 1:
+                        pv = prev[k][None]  # plane_sc stores the sliced plane
+                        b = pv if PX == 1 else jnp.concatenate(
+                            [pv, b[: PX - 1]], axis=0
+                        )
+                    elif cx == -1:
+                        nx = rc[k, 0, oy : oy + by, oz : oz + bz_][None]
+                        b = nx if PX == 1 else jnp.concatenate(
+                            [b[1:], nx], axis=0
+                        )
+                    return _shift2d(b, cy, cz)
+
+                def corrected(j, k):
+                    """Output row j: val = |S_k| f*[k] + (1-|S_k|)·other,
+                    other = f*[opp] (S<0) | f*[k]@x_ff (S>0); identity at
+                    S=0 (same math as make_bouzidi_pallas, reference:
+                    src/bouzidi_kernel.jl:38-88)."""
+                    s = sb[k].astype(jnp.float32)
+                    a = jnp.abs(s)
+                    other = jnp.where(
+                        s < 0,
+                        slab(rp, j).astype(jnp.float32),
+                        shifted(rp, k).astype(jnp.float32),
+                    )
+                    val = (
+                        a * slab(rp, k).astype(jnp.float32) + (1.0 - a) * other
+                    ).astype(f_dtype)
+                    return jnp.where(s != 0, val, slab(rp, j))
+
+                # opposite pairs: row j reads only rows {j, opp j}, so both
+                # of a pair are computed from the original slab, then both
+                # written — in-place stays equivalent to the two-buffer form
+                for j in range(27):
+                    k = int(lat.OPP[j])
+                    if j >= k:  # j == 13 (rest) self-pairs and is skipped
+                        continue
+                    new_j = corrected(j, k)
+                    new_k = corrected(k, j)
+                    rp[j, :, oy : oy + by, oz : oz + bz_] = new_j
+                    rp[k, :, oy : oy + by, oz : oz + bz_] = new_k
+
+            flush_dma(P % 2, P).start()
+
+        @pl.when(ci == NCH - 1)
+        def _drain():
+            # last chunk is never in the box (c_hi <= NCH-2): flush raw,
+            # then drain both in-flight flushes before the kernel exits
+            flush_dma(ci % 2, ci).start()
+            flush_dma((ci - 1) % 2, ci - 1).wait()
+            flush_dma(ci % 2, ci).wait()
 
     n_scalar = 2 + (1 if sharded else 0) + (1 if iface_pair else 0)
 
     def step(f, vel, u_inlet, t_seed, statics3d, iface: Optional[Dict] = None,
-             edges=None, x_off=None, nsub=None):
+             edges=None, x_off=None, nsub=None, bz_S=None):
         """`iface` planes must already be in the pre-shifted class-permuted
         layout (dense_step.interface_planes_pair / prep_iface_pallas), in the
         same space as the state (g = f - w when step.g_native).  With
@@ -648,9 +809,20 @@ def make_pallas_step(
             + iface_specs
             + (
                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 if sharded else []
+            )
+            + (
+                [pl.BlockSpec(memory_space=pl.ANY)] if bzf is not None else []
             ),
             out_specs=[
-                pl.BlockSpec((27, PX, YS, ZS), lambda i, *_: (0, i, 0, 0)),
+                # with the Bouzidi fold-in, f leaves through the manual
+                # delayed-flush ring instead of the pipelined out blocks
+                (
+                    pl.BlockSpec(memory_space=pl.ANY)
+                    if bzf is not None
+                    else pl.BlockSpec(
+                        (27, PX, YS, ZS), lambda i, *_: (0, i, 0, 0)
+                    )
+                ),
                 pl.BlockSpec((PX, YS, ZS), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec((3, PX, YS, ZS), lambda i, *_: (0, i, 0, 0)),
             ],
@@ -658,7 +830,20 @@ def make_pallas_step(
                 pltpu.VMEM((_SLOTS, 27, PX, YS, ZS), f_dtype),
                 pltpu.VMEM((_SLOTS, 3, PX, YS, ZS), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, _SLOTS)),
-            ],
+            ]
+            + (
+                [
+                    pltpu.VMEM((2, 27, PX, YS, ZS), f_dtype),  # output ring
+                    pltpu.VMEM((2, 27, bzf["by"], bzf["bz"]), f_dtype),
+                    pltpu.VMEM(
+                        (2, 27, PX, bzf["by"], bzf["bz"]), bzf["coef_t"]
+                    ),
+                    pltpu.SemaphoreType.DMA((2,)),  # S slabs
+                    pltpu.SemaphoreType.DMA((2,)),  # flushes
+                ]
+                if bzf is not None
+                else []
+            ),
         )
         plane = PX * YS * ZS
         est = (
@@ -673,6 +858,13 @@ def make_pallas_step(
                 for v in iface_vals
             )
         )
+        if bzf is not None:
+            # the f out-blocks above become the 2-slot ring (same bytes);
+            # add the edge-plane save + double-buffered coefficient slabs
+            bxy = bzf["by"] * bzf["bz"]
+            est += 2 * 27 * bxy * f_bytes \
+                + 2 * 27 * PX * bxy * (2 if bzf["coef_t"] == jnp.bfloat16
+                                       else 4)
         fo, rho, vo = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -714,6 +906,11 @@ def make_pallas_step(
             ),
             *iface_vals,
             *(edges if sharded else ()),
+            *(
+                ((bzf["spad"] if bz_S is None
+                  else bz_S.astype(bzf["coef_t"])),)
+                if bzf is not None else ()
+            ),
         )
         return fo, rho, vo
 
@@ -721,4 +918,9 @@ def make_pallas_step(
     # state (g = f - w when g_native); interface_from_endpoints(g_shifted=...)
     step.g_native = g_native
     step.iface_pair = iface_pair
+    # Bouzidi correction folded into this kernel (the scheduler must then
+    # skip the standalone correction and pass the padded coefficients as
+    # the bz_S jit argument — step.bz_spad — instead of bz_S of the plan)
+    step.bz_folded = bzf is not None
+    step.bz_spad = bzf["spad"] if bzf is not None else None
     return step

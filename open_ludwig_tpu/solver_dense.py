@@ -186,6 +186,13 @@ def make_coarse_step_dense(
     # step inside a shard_map x-slab decomposition with lax.ppermute halo
     # exchange over ICI (parallel.patch_shard wires this for production)
     interpret: bool = None,  # Pallas interpret mode (None = auto: CPU only)
+    _bz_fold: bool = False,  # fold Bouzidi into the step kernel's delayed-
+    # flush output ring when its box chunk range allows.  Measured SLOWER
+    # than the standalone correction kernel on the Re1M bench (1279 vs 1233
+    # us/coarse interleaved A/B — the standalone kernel's in-program cost is
+    # mostly overlapped, while the in-kernel correction adds critical-path
+    # VPU work per chunk; NOTES_ROUND3_PERF.md) — kept as a tested option:
+    # the delayed-flush ring is the scaffolding temporal blocking needs
     _iface_mode: str = "real",  # perf dissection hook (tools/perf_probe):
     # "frozen" closes rest-state ghost planes over the step as constants,
     # removing the whole interface-construction path from the timeline
@@ -224,7 +231,19 @@ def make_coarse_step_dense(
                 # kernel (verified bit-exact on a 3-level TPU A/B);
                 # kills the scan-carry loop-back copies
                 alias_f=True,
+                # fold the Bouzidi correction into the step kernel's chunk
+                # pipeline (delayed-flush output ring) — saves the separate
+                # per-sub-step dispatch and its full box f re-read/re-write;
+                # the kernel falls back (bz_folded=False) when the box chunk
+                # range is not interior.  Sharded runs keep the standalone
+                # GSPMD correction (the kernel guards shard_nx > 1).
+                bz_plan=(
+                    statics[li]["bouzidi"]
+                    if mesh is None and _bz_fold else None
+                ),
             )
+            if getattr(pstep, "bz_folded", False):
+                statics[li]["bz_S_pad"] = pstep.bz_spad
             if mesh is not None:
                 pstep = _shard_map_pstep(pstep, p, mesh)
             psteps.append(pstep)
@@ -244,12 +263,12 @@ def make_coarse_step_dense(
     bz_apply = []
     for li, p in enumerate(patches):
         plan = statics[li]["bouzidi"]
-        if plan is None:
+        if plan is None or getattr(psteps[li], "bz_folded", False):
             bz_apply.append(None)
             continue
         f_dtype = jnp.bfloat16 if store_bf16 else jnp.float32
-        # coefficients (A+B) + box scratch, all resident in VMEM at once
-        box_bytes = 3 * 27 * int(np.prod(plan["dim"])) * (2 if store_bf16 else 4)
+        # coefficients (S) + box scratch, all resident in VMEM at once
+        box_bytes = 2 * 27 * int(np.prod(plan["dim"])) * (2 if store_bf16 else 4)
         if psteps[li] is not None and box_bytes < 32 * 2**20 \
                 and mesh is None:
             bz_apply.append(
@@ -265,8 +284,8 @@ def make_coarse_step_dense(
                     "the XLA sub-box path for the correction"
                 )
             bz_apply.append(
-                lambda f, A=None, B=None, _plan=plan: apply_bouzidi_dense(
-                    f, _plan if A is None else {**_plan, "A": A, "B": B}
+                lambda f, S=None, _plan=plan: apply_bouzidi_dense(
+                    f, _plan if S is None else {**_plan, "S": S}
                 )
             )
 
@@ -315,6 +334,8 @@ def make_coarse_step_dense(
             seed = (t_sub % 1000000).astype(jnp.int32)
             if psteps[lvl] is not None:
                 kw = {"nsub": nsub} if _iface_mode == "real" else {}
+                if getattr(psteps[lvl], "bz_folded", False):
+                    kw["bz_S"] = static.get("bz_S_pad")
                 f_new, rho_new, vel_new = psteps[lvl](
                     st["f"], st["vel"], u_curr, seed, static, iface, **kw
                 )
@@ -334,9 +355,7 @@ def make_coarse_step_dense(
                 if _arrs is None:
                     f_new = bz_apply[lvl](f_new)
                 else:
-                    f_new = bz_apply[lvl](
-                        f_new, _arrs[lvl]["bz_A"], _arrs[lvl]["bz_B"]
-                    )
+                    f_new = bz_apply[lvl](f_new, _arrs[lvl]["bz_S"])
             states[lvl] = {"f": f_new, "rho": rho_new, "vel": vel_new}
             if lvl + 1 < n_levels:
                 # endpoint ghost planes from the pre/post-step parent state,
@@ -391,6 +410,9 @@ def make_coarse_step_dense(
     # which levels run the fused Pallas kernel (vs the XLA dense fallback) —
     # introspection for tests/dryruns asserting the production kernel is live
     coarse_step.pallas_levels = tuple(ps is not None for ps in psteps)
+    coarse_step.bz_folded = tuple(
+        getattr(ps, "bz_folded", False) for ps in psteps
+    )
     return coarse_step
 
 
@@ -412,8 +434,11 @@ def statics_arg_arrays(statics: List[Dict]) -> List[Dict]:
             if k in st
         }
         if st.get("bouzidi") is not None:
-            d["bz_A"] = st["bouzidi"]["A"]
-            d["bz_B"] = st["bouzidi"]["B"]
+            d["bz_S"] = st["bouzidi"]["S"]
+        if st.get("bz_S_pad") is not None:
+            # chunk-aligned padded coefficients of the folded-in correction
+            # (set by make_coarse_step_dense when the kernel folds Bouzidi)
+            d["bz_S_pad"] = st["bz_S_pad"]
         out.append(d)
     return out
 

@@ -403,3 +403,51 @@ def test_pair_layout_coarse_matches_xla(tmp_path):
             - np.asarray(sX[li]["f"], np.float32)[:, :X, :Y, :Z]
         ).max()
         assert df < 2e-5, (li, df)
+
+def test_bouzidi_folded_coarse_matches_xla(tmp_path):
+    """The production coarse step with the Bouzidi correction FOLDED into
+    the step kernel's delayed-flush output ring must match the XLA dense
+    path (separate sub-box correction) — guards the in-kernel epilogue's
+    cross-chunk neighbor plumbing and the padded-coefficient jit argument."""
+    import jax.numpy as jnp
+
+    from open_ludwig_tpu.cases import make_case_sphere
+    from open_ludwig_tpu.config import load_case_config
+    from open_ludwig_tpu.geometry import load_mesh
+    from open_ludwig_tpu.scaling import compute_domain_params
+    from open_ludwig_tpu import solver_dense as sd
+
+    d = str(tmp_path)
+    make_case_sphere(d, "1M", surface_resolution=12, num_levels=2, steps=4,
+                     ramp_steps=2, output_freq=100, diag_freq=100,
+                     wake_enabled=False, boundary_method="bouzidi")
+    cfg = load_case_config(d)
+    tri = load_mesh(cfg.stl_path, scale=cfg.stl_scale)
+    params = compute_domain_params(cfg, tri.min_bounds, tri.max_bounds)
+    patches = build_patches(cfg, tri, params)
+    statics = sd.build_patch_statics(cfg, patches)
+    s0 = [sd.init_patch_state(p) for p in patches]
+    csP = sd.make_coarse_step_dense(cfg, params, patches, statics,
+                                    use_pallas=True, _bz_fold=True)
+    csX = sd.make_coarse_step_dense(cfg, params, patches, statics,
+                                    use_pallas=False)
+    # the fold-in must actually engage on the Bouzidi level (else this test
+    # silently degrades to the standalone-kernel comparison)
+    assert any(csP.bz_folded), csP.bz_folded
+    # statics_arg_arrays AFTER make_coarse_step_dense (it adds bz_S_pad)
+    arrs = sd.statics_arg_arrays(statics)
+    assert any("bz_S_pad" in a for a in arrs)
+    sP = [dict(x) for x in s0]
+    sX = [dict(x) for x in s0]
+    jP = jax.jit(lambda s, t, a: csP(list(s), t, a))
+    jX = jax.jit(lambda s, t, a: csX(list(s), t, a))
+    for t in range(1, 3):
+        sP = jP(sP, jnp.int32(t), arrs)
+        sX = jX(sX, jnp.int32(t), arrs)
+    for li, p in enumerate(patches):
+        X, Y, Z = p.interior
+        df = np.abs(
+            np.asarray(sP[li]["f"], np.float32)[:, :X, :Y, :Z]
+            - np.asarray(sX[li]["f"], np.float32)[:, :X, :Y, :Z]
+        ).max()
+        assert df < 2e-5, (li, df)

@@ -21,6 +21,9 @@ def main():
     ap.add_argument("--n", type=int, default=200)
     ap.add_argument("--precision", type=str, default="bfloat16")
     ap.add_argument("--iface", type=str, default="real,frozen")
+    ap.add_argument("--bz", type=str, default="fold",
+                    help="comma list of fold|plain: Bouzidi folded into the "
+                    "step kernel vs the standalone correction kernel")
     ap.add_argument("--xmult", type=int, default=1,
                     help="pad every level's XS to this multiple")
     ap.add_argument("--reps", type=int, default=5,
@@ -59,7 +62,6 @@ def main():
     params = compute_domain_params(cfg, mesh.min_bounds, mesh.max_bounds)
     levels = build_patches(cfg, mesh, params, x_multiple=args.xmult)
     statics = build_patch_statics(cfg, levels)
-    arrs = statics_arg_arrays(statics)
     upd = sum(p.n_cells * 2 ** (p.level_id - 1) for p in levels)
     print(f"updates/coarse: {upd/1e6:.2f}M  "
           f"XS={[p.padded[0] for p in levels]}", flush=True)
@@ -70,36 +72,41 @@ def main():
     # and the per-mode min is the uncontended time.
     runners = {}
     for mode in args.iface.split(","):
-        coarse = make_coarse_step_dense(
-            cfg, params, levels, statics, _iface_mode=mode
-        )
-
-        @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
-        def run(states, arrs_, t0, n, _co=coarse):
-            def body(c, t):
-                return _co(list(c), t, arrs_), None
-
-            out, _ = jax.lax.scan(
-                body, states, t0 + jnp.arange(n, dtype=jnp.int32)
+        for bzm in args.bz.split(","):
+            coarse = make_coarse_step_dense(
+                cfg, params, levels, statics, _iface_mode=mode,
+                _bz_fold=bzm == "fold",
             )
-            return out
+            # AFTER make_coarse_step_dense: it may add bz_S_pad (fold)
+            arrs = statics_arg_arrays(statics)
 
-        states = [init_patch_state(p, cfg.precision) for p in levels]
-        t0 = time.perf_counter()
-        states = run(states, arrs, np.int32(1), args.n)
-        jax.block_until_ready(states[0]["rho"])
-        compile_s = time.perf_counter() - t0
-        runners[mode] = (run, states, compile_s)
+            @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+            def run(states, arrs_, t0, n, _co=coarse):
+                def body(c, t):
+                    return _co(list(c), t, arrs_), None
+
+                out, _ = jax.lax.scan(
+                    body, states, t0 + jnp.arange(n, dtype=jnp.int32)
+                )
+                return out
+
+            states = [init_patch_state(p, cfg.precision) for p in levels]
+            t0 = time.perf_counter()
+            states = run(states, arrs, np.int32(1), args.n)
+            jax.block_until_ready(states[0]["rho"])
+            compile_s = time.perf_counter() - t0
+            key = mode if args.bz == "fold" else f"{mode}/{bzm}"
+            runners[key] = (run, states, compile_s, arrs)
 
     dts = {m: [] for m in runners}
     for rep in range(args.reps):
-        for mode, (run, states, _) in runners.items():
+        for mode, (run, states, _c, arrs) in runners.items():
             t0 = time.perf_counter()
             states = run(states, arrs, np.int32(args.n + 1), args.n)
             jax.block_until_ready(states[0]["rho"])
             dts[mode].append((time.perf_counter() - t0) / args.n)
-            runners[mode] = (run, states, _)
-    for mode, (run, states, compile_s) in runners.items():
+            runners[mode] = (run, states, _c, arrs)
+    for mode, (run, states, compile_s, _a) in runners.items():
         dt = min(dts[mode])
         print(
             f"coarse[{args.precision:9s} iface={mode:6s}] {dt*1e6:9.1f} us "
