@@ -129,6 +129,12 @@ class CaseConfig:
                                       # path) or "blocks" (sparse 8^3 blocks)
     devices: int = 1                  # >1: shard the run over an x-slab
                                       # device mesh (patch layout only)
+    flat_coarse: str = "auto"         # flat-(y,z) storage for interface-free
+                                      # levels (the coarse wind tunnel):
+                                      # "auto" = on when the Pallas kernel
+                                      # runs (TPU), "on", "off".  Kills the
+                                      # dead 128-lane z padding of small
+                                      # transverse extents (core/patch.py)
 
     @property
     def reference_area(self) -> float:
@@ -285,6 +291,9 @@ def parse_config(cfg: Dict, case_dir: str = "") -> CaseConfig:
         precision=str(_get(cfg, "advanced", "numerics", "precision", default="float32")),
         layout=str(_get(cfg, "advanced", "engine", "layout", default="patch")),
         devices=int(_get(cfg, "advanced", "engine", "devices", default=1)),
+        flat_coarse=str(
+            _get(cfg, "advanced", "engine", "flat_coarse", default="auto")
+        ),
     )
 
 

@@ -12,10 +12,9 @@ the hot path contains no gather/scatter at all.  The 8^3-block machinery
 remains available as the general path (core.plan / ops.stream_collide); this
 module is the production layout.
 
-Axis order is (x, y, z) with arrays shaped (27, XS, YS, ZS); the last two
-dims are padded to the TPU tile (YS % 8 == 0, ZS % 128 == 0) so reshapes to
-flat (27, N) are layout-preserving bitcasts.  Pad cells are marked obstacle
-and never consumed by interior physics.
+Axis order is (x, y, z) with arrays shaped (27, XS, YS, ZS); the y dim is
+padded to the sublane tile (YS % 8 == 0) and z to Z_PAD_TILE.  Pad cells are
+marked obstacle and never consumed by interior physics.
 """
 
 from __future__ import annotations
@@ -48,6 +47,19 @@ def _ceil(v, m):
     return int(-(-v // m) * m)
 
 
+# Storage pad tile for the minor (z) axis.  The semantics are pure layout
+# (test_z_pad_tile_invariance proves interior fields are bit-identical under
+# any tile), but the production Pallas kernel REQUIRES 128: Mosaic rejects
+# memref slices whose minor dim is not a whole 128-lane tile ("Slice shape
+# along dimension 3 must be aligned to tiling (128), but is 56"), which the
+# rotating-window DMA hits as soon as XLA's memory-space-assignment pins a
+# sub-128-lane f buffer in VMEM.  Dead z padding is instead attacked by the
+# flat-(y,z) layout for levels with no transverse interface faces
+# (ops.pallas_step.make_pallas_step_flat), where the lane axis is Y*Z padded
+# to 128 and every slice stays on leading dims.
+Z_PAD_TILE = 128
+
+
 @dataclass
 class PatchLevel:
     """One refinement level as a dense box (host-side static data)."""
@@ -63,6 +75,13 @@ class PatchLevel:
     sponge: np.ndarray  # (XS, YS, ZS) f32
     wall_dist: np.ndarray  # (XS, YS, ZS) f32
     bouzidi: Optional[BouzidiData] = None
+    # flat-(y,z) state layout: arrays are (..., XS, M) with flat index
+    # n = y * Z + z over INTERIOR y/z, M = ceil(Y*Z, 128).  Eliminates the
+    # dead lane padding of small transverse extents (a (64, 56, 56) wind
+    # tunnel stores 56 of every 128 lanes in 3-D layout); only levels whose
+    # y/z wrap rows are all overwritten by boundary masks qualify — i.e. no
+    # interface faces (ops.pallas_step.make_pallas_step_flat).
+    flat_yz: bool = False
 
     @property
     def n_cells(self) -> int:
@@ -72,11 +91,70 @@ class PatchLevel:
     def n_padded(self) -> int:
         return int(np.prod(self.padded))
 
+    @property
+    def flat_m0(self) -> int:
+        """Valid flat slots: interior Y * interior Z."""
+        return int(self.interior[1]) * int(self.interior[2])
+
+    @property
+    def flat_m(self) -> int:
+        """Flat lane extent (128-aligned)."""
+        return _ceil(self.flat_m0, 128)
+
+    @property
+    def state_shape(self) -> Tuple[int, ...]:
+        """Trailing dims of state arrays: (XS, M) flat or (XS, YS, ZS)."""
+        if self.flat_yz:
+            return (self.padded[0], self.flat_m)
+        return self.padded
+
+    def flatten_field(self, arr: np.ndarray, fill) -> np.ndarray:
+        """(XS, YS, ZS) host field -> (XS, M), pad slots = fill."""
+        X, Y, Z = self.interior
+        XS = self.padded[0]
+        out = np.full((XS, self.flat_m), fill, arr.dtype)
+        out[:, : self.flat_m0] = arr[:, :Y, :Z].reshape(arr.shape[0], -1)
+        return out
+
+    def unflatten_host(self, arr: np.ndarray) -> np.ndarray:
+        """Host-side (..., XS, M) flat field -> (..., XS, Y, Z) over the
+        INTERIOR y/z (no pad rows); identity for non-flat levels."""
+        arr = np.asarray(arr)
+        if not self.flat_yz:
+            return arr
+        Y, Z = self.interior[1], self.interior[2]
+        return arr[..., : self.flat_m0].reshape(arr.shape[:-1] + (Y, Z))
+
 
 def _pad_field(arr: np.ndarray, padded, fill) -> np.ndarray:
     out = np.full(padded, fill, arr.dtype)
     out[: arr.shape[0], : arr.shape[1], : arr.shape[2]] = arr
     return out
+
+
+def _use_flat_yz(cfg, patch: "PatchLevel", is_finest: bool) -> bool:
+    """Whether a level stores state in the flat-(y,z) lane layout.
+
+    Qualifies structurally only when NO face is an interface (the flat roll's
+    cross-row artifacts land exactly on y/z boundary rows, which inlet/outlet/
+    mirror masks fully overwrite but interface ghost rows would not) — i.e.
+    the coarse wind tunnel.  It also requires the Pallas kernel (the XLA dense
+    fallback is 3-D only), so "auto" engages off-CPU, where production always
+    runs Pallas; and only when it actually removes padding."""
+    mode = getattr(cfg, "flat_coarse", "auto")
+    if mode == "off" or any(bc == BC_INTERFACE for bc in patch.face_bc):
+        return False
+    if is_finest or patch.bouzidi is not None:
+        return False  # the Bouzidi sub-box kernels and the surface-stress
+        # cell maps (ops/forces.py) index the finest level in (x, y, z);
+        # single-level cases keep 3-D storage
+    if patch.flat_m >= patch.padded[1] * patch.padded[2]:
+        return False  # no dead padding to reclaim
+    if mode == "on":
+        return True
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
 
 
 def build_patches(
@@ -172,7 +250,7 @@ def build_patches(
         padded = (
             _ceil(interior[0], max(x_multiple, 1)),
             _ceil(interior[1], 8),
-            _ceil(interior[2], 128),
+            _ceil(interior[2], Z_PAD_TILE),
         )
         face_bc = []
         for f in range(6):
@@ -226,6 +304,7 @@ def build_patches(
             wall_dist=_pad_field(wall, padded, np.float32(100.0)),
             bouzidi=bouzidi,
         )
+        patch.flat_yz = _use_flat_yz(cfg, patch, lvl == num_levels)
         log.info(
             "[Patch] level %d: lo=%s interior=%s padded=%s (%.2fM cells, %.0f%% pad)",
             lvl, patch.lo, interior, padded,

@@ -301,8 +301,9 @@ def export_flow_vtu_patches(path, patches, states, fields) -> None:
         pt_base += (X + 1) * (Y + 1) * (Z + 1)
 
         st = states[li]
-        vel3d = np.asarray(st["vel"])[:, :X, :Y, :Z]
-        rho = np.asarray(st["rho"])[:X, :Y, :Z][keep]
+        # flat-(y,z) levels store (XS, M); unflatten to interior 3-D
+        vel3d = p.unflatten_host(np.asarray(st["vel"]))[:, :X, :Y, :Z]
+        rho = p.unflatten_host(np.asarray(st["rho"]))[:X, :Y, :Z][keep]
         vel = vel3d[:, keep]
         obs = p.obstacle[:X, :Y, :Z][keep]
         data["Density"].append(rho)

@@ -93,6 +93,13 @@ def _upsample_axis(slab: jnp.ndarray, axis: int, g_start: int, length: int):
     return jax.lax.slice_in_dim(inter, off, off + length, axis=axis)
 
 
+def _assert_3d_parent(p_state: Dict):
+    assert p_state["f"].ndim == 4, (
+        "flat-(y,z) parent states are consumed via interface_planes_pair_mm "
+        "(build_iface_mm_plan handles the unflatten), not the endpoint path"
+    )
+
+
 def interface_endpoints(
     patch: PatchLevel,
     parent: PatchLevel,
@@ -109,6 +116,8 @@ def interface_endpoints(
     sequence: each state's slab is sliced first (small), then stacked — never
     stack the full parent arrays, that copies them wholesale."""
     states = _states if _states is not None else [p_state]
+    for st in states:
+        _assert_3d_parent(st)
     batched = _states is not None
     _extra_lead = 1 if batched else 0
     out = {}
@@ -423,8 +432,17 @@ def build_iface_mm_plan(patch: PatchLevel, parent: PatchLevel) -> Optional[Dict]
     if not need:
         return None
     PXS, PYS, PZS = parent.padded
-    caps = (PXS, PYS, PZS)
-    align = (1, 8, 128)
+    if parent.flat_yz:
+        # flat-(y,z) parent: slabs are extracted straight from the (XS, M)
+        # flat state — a y-range x full-z window is ONE contiguous lane
+        # range (n = y*Z + z), so each slab is a small slice-reshape-slice
+        # (interface_planes_pair_mm) and no alignment helps; caps are the
+        # interior y/z (flat stores no pad rows)
+        caps = (PXS, parent.interior[1], parent.interior[2])
+        align = (1, 1, 1)
+    else:
+        caps = (PXS, PYS, PZS)
+        align = (1, 8, 128)
 
     def wide_range(want_lo: int, want_hi: int, ax: int, width: Optional[int] = None):
         """Aligned slice [start, start+width) covering want ∩ [0, cap)."""
@@ -533,7 +551,10 @@ def build_iface_mm_plan(patch: PatchLevel, parent: PatchLevel) -> Optional[Dict]
                 "UN2": jnp.asarray(UN2),
             }
         )
-    return {"groups": groups}
+    plan = {"groups": groups}
+    if parent.flat_yz:
+        plan["flat"] = (parent.interior[1], parent.interior[2])
+    return plan
 
 
 # Einsum per face axis: f = face, n = temporal weight, (z, y, x) = direction
@@ -580,6 +601,7 @@ def interface_planes_pair_mm(
     tau_c = parent.tau - 0.5
     tau_f = patch.tau - 0.5
     scale = float(np.clip(tau_f / tau_c, 0.01, 100.0)) if tau_c > 1e-6 else 1.0
+    flat_yz = plan.get("flat")  # (Y, Z) of a flat-(y,z) parent, else None
     blend = use_temporal and p_old is not None
     states = [p_old, p_new] if blend else [p_new]
     cv = jnp.asarray(np.array([-1.0, 0.0, 1.0], np.float32))
@@ -608,11 +630,25 @@ def interface_planes_pair_mm(
             for st3, (i0, i1, wf) in zip(starts, grp["lerp_idx"]):
                 per_state = []
                 for st in states:
-                    sl = jax.lax.dynamic_slice(
-                        st[key],
-                        (0,) * lead + st3,
-                        st[key].shape[:lead] + sz,
-                    )
+                    if flat_yz is not None:
+                        # (.., XS, M) flat state: the (y0:y0+ny, full z)
+                        # window is the contiguous lane range
+                        # [y0*Z, (y0+ny)*Z) — slice, unflatten the window,
+                        # then sub-slice z.  Only slab-sized data moves.
+                        Yp, Zp = flat_yz
+                        x0, y0, z0 = st3
+                        nx, ny, nz = sz
+                        a = st[key][
+                            ..., x0 : x0 + nx, y0 * Zp : (y0 + ny) * Zp
+                        ]
+                        a = a.reshape(a.shape[:-1] + (ny, Zp))
+                        sl = a[..., z0 : z0 + nz]
+                    else:
+                        sl = jax.lax.dynamic_slice(
+                            st[key],
+                            (0,) * lead + st3,
+                            st[key].shape[:lead] + sz,
+                        )
                     if keep_n and _nhot:
                         per_state.append(sl)  # (..., a, b, N)
                         continue

@@ -185,7 +185,22 @@ def _shift2d(a, sy: int, sz: int):
 
 
 def prepare_pallas_statics(patch: PatchLevel) -> Dict:
-    """3-D device arrays consumed by the kernel's chunk BlockSpecs."""
+    """Device arrays consumed by the kernel's chunk BlockSpecs — 3-D, or
+    (XS, M) flat when the level stores flat-(y,z) (PatchLevel.flat_yz)."""
+    if patch.flat_yz:
+        return {
+            "obstacle_u8": jnp.asarray(
+                patch.flatten_field(patch.obstacle, True).astype(np.uint8)
+            ),
+            "sponge3d": jnp.asarray(
+                patch.flatten_field(patch.sponge, np.float32(0.0))
+            ),
+            "wall3d": jnp.asarray(
+                patch.flatten_field(patch.wall_dist, np.float32(100.0))
+            ),
+            "mom_mat": jnp.asarray(lat.MOM_MAT),
+            "back_mat": jnp.asarray(lat.BACK_MAT),
+        }
     return {
         "obstacle_u8": jnp.asarray(patch.obstacle.astype(np.uint8)),
         "sponge3d": jnp.asarray(patch.sponge),
@@ -923,4 +938,352 @@ def make_pallas_step(
     # the bz_S jit argument — step.bz_spad — instead of bz_S of the plan)
     step.bz_folded = bzf is not None
     step.bz_spad = bzf["spad"] if bzf is not None else None
+    return step
+
+
+def make_pallas_step_flat(
+    patch: PatchLevel,
+    *,
+    c_wale: float,
+    nu_sgs_background: float,
+    inlet_turbulence: float,
+    wall_model: bool,
+    sponge_blend: bool,
+    interpret: bool = False,
+    planes_per_step: int = 0,
+    store_bf16: bool = False,
+    alias_f: bool = False,
+    shard_nx: int = 1,
+):
+    """make_pallas_step for the flat-(y,z) state layout (PatchLevel.flat_yz):
+    arrays are (27|3|1, XS, M) with flat index n = y*Z + z over INTERIOR y/z
+    and M = ceil(Y*Z, 128).  Small transverse extents then pad the lane axis
+    ONCE instead of per-z-row (the Re1M bench coarse level is (64, 56, 56):
+    3-D layout stores 56 of every 128 lanes; flat stores 3136 of 3200).
+
+    Only levels with NO interface faces qualify: the y/z streaming shifts
+    collapse to ONE flat lane roll by cy*Z + cz, whose cross-row artifacts
+    (a z-wrap bleeding into the adjacent y row, a y-wrap bleeding through the
+    pad tail) land exactly on the destination rows the direction's y/z
+    boundary masks overwrite — inlet/outlet/mirror masks cover every such
+    row, interface ghost rows would not.  Physics per cell is identical to
+    make_pallas_step (same collide_math, same BC forms, same rotating-window
+    x DMA pipeline); only the index algebra changes.
+    """
+    XS = patch.padded[0]
+    X, Y, Z = patch.interior
+    M, M0 = patch.flat_m, patch.flat_m0
+    fb = patch.face_bc
+    assert BC_INTERFACE not in fb, "flat layout requires interface-free faces"
+    sharded = shard_nx > 1
+    assert XS % shard_nx == 0, (XS, shard_nx)
+    XL = XS // shard_nx
+    f_dtype = jnp.bfloat16 if store_bf16 else jnp.float32
+    f_bytes = 2 if store_bf16 else 4
+    g_native = store_bf16
+
+    def dec(x, k):
+        return x.astype(jnp.float32) if store_bf16 else x
+
+    def enc(x, k):
+        return x.astype(jnp.bfloat16) if store_bf16 else x
+
+    if planes_per_step:
+        PX = planes_per_step
+    elif PX_OVERRIDE.get(patch.level_id):
+        PX = PX_OVERRIDE[patch.level_id]
+    else:
+        PX = 1
+        for cand in (8, 4, 2):
+            plane_c = cand * M
+            est_c = (
+                _SLOTS * (27 * f_bytes + 3 * 4) * plane_c
+                + 2 * 9 * plane_c
+                + 2 * (27 * f_bytes + 4 + 3 * 4) * plane_c
+            )
+            if XL % cand == 0 and est_c < 36 * 2**20:
+                PX = cand
+                break
+    assert XL % PX == 0, (XL, PX)
+    NCH = XL // PX
+
+    def kernel(u_ref, seed_ref, *pre_rest):
+        if sharded:
+            xoff_ref, *pre_rest = pre_rest
+        f_hbm, vel_hbm = pre_rest[0], pre_rest[1]  # ANY (manual DMA)
+        obstacle_ref, sponge_ref, wall_ref = pre_rest[2:5]  # (PX, M) VMEM
+        rest = pre_rest[5:]
+        off = 0
+        if sharded:
+            fe_ref, ve_ref = rest[off], rest[off + 1]  # (27|3, 2, M)
+            off += 2
+        fout_ref, rho_ref, velout_ref = rest[off : off + 3]
+        fwin, vwin, sems = rest[off + 3 :]
+
+        ci = pl.program_id(0)
+        lix2 = jax.lax.broadcasted_iota(jnp.int32, (PX, M), 0) + ci * PX
+        ix2 = lix2 + xoff_ref[0] if sharded else lix2
+        nidx = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
+        ify = nidx // Z  # pad slots get y >= Y: matched by NO face mask,
+        ifz = nidx - ify * Z  # their output is the obstacle branch (don't-care)
+
+        def start_dma(chunk):
+            slot = chunk % _SLOTS
+            pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(chunk * PX, PX)], fwin.at[slot],
+                sems.at[0, slot],
+            ).start()
+            pltpu.make_async_copy(
+                vel_hbm.at[:, pl.ds(chunk * PX, PX)], vwin.at[slot],
+                sems.at[1, slot],
+            ).start()
+
+        def wait_dma(chunk):
+            slot = chunk % _SLOTS
+            pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(chunk * PX, PX)], fwin.at[slot],
+                sems.at[0, slot],
+            ).wait()
+            pltpu.make_async_copy(
+                vel_hbm.at[:, pl.ds(chunk * PX, PX)], vwin.at[slot],
+                sems.at[1, slot],
+            ).wait()
+
+        @pl.when(ci == 0)
+        def _warmup():
+            start_dma(jnp.int32(0))
+            if NCH > 1:
+                start_dma(jnp.int32(1))
+            wait_dma(jnp.int32(0))
+            if NCH > 1:
+                wait_dma(jnp.int32(1))
+
+        @pl.when(ci + 2 <= NCH - 1)
+        def _prefetch():
+            start_dma(ci + 2)
+
+        @pl.when((ci >= 1) & (ci + 1 <= NCH - 1))
+        def _await_next():
+            wait_dma(ci + 1)
+
+        u_inlet = u_ref[0]
+        t_seed = seed_ref[0]
+
+        c_prev = jnp.maximum(ci - 1, 0)
+        c_next = jnp.minimum(ci + 1, NCH - 1)
+        f_prev_ch = fwin.at[c_prev % _SLOTS]
+        f_cur_ch = fwin.at[ci % _SLOTS]
+        f_next_ch = fwin.at[c_next % _SLOTS]
+        v_prev_ch = vwin.at[c_prev % _SLOTS]
+        v_cur_ch = vwin.at[ci % _SLOTS]
+        v_next_ch = vwin.at[c_next % _SLOTS]
+
+        if fb[0] == BC_INLET:
+            gy1 = ify + (patch.lo[1] + 1)
+            gz1 = ifz + (patch.lo[2] + 1)
+            if inlet_turbulence > 0.0:
+                noise = cm.hash_noise(gy1, gz1, t_seed)
+                u_inst = u_inlet + noise * jnp.float32(inlet_turbulence) * u_inlet
+            else:
+                u_inst = jnp.broadcast_to(u_inlet, (1, M)).astype(jnp.float32)
+            base1 = 0.0 if g_native else 1.0
+            inlet_factor = base1 + 3.0 * u_inst + 3.0 * u_inst * u_inst
+        else:
+            inlet_factor = None
+
+        def face_value(k, face):
+            bc = fb[face]
+            if bc == BC_INLET:
+                return float(lat.W[k]) * inlet_factor
+            if bc == BC_OUTLET:
+                cu = float(lat.C_X[k]) * u_inlet
+                return float(lat.W[k]) * (
+                    (0.0 if g_native else 1.0)
+                    + 3.0 * cu + 4.5 * cu * cu - 1.5 * u_inlet * u_inlet
+                )
+            if bc == BC_MIRROR_Y:
+                return dec(f_cur_ch[int(lat.MIRROR_Y[k])], k)
+            if bc == BC_MIRROR_Z:
+                return dec(f_cur_ch[int(lat.MIRROR_Z[k])], k)
+            raise AssertionError(bc)
+
+        def shift_flat(a, sy: int, sz: int):
+            """out[., n] = a[., n - sy*Z - sz]: the 2-D (y, z) shift as one
+            lane roll.  Cross-row and pad-tail artifacts land only on y/z
+            boundary destination rows, all overwritten below."""
+            s = sy * Z + sz
+            return jnp.roll(a, s, axis=-1) if s else a
+
+        streamed = []
+        for k in range(27):
+            cx, cy, cz = int(lat.C_X[k]), int(lat.C_Y[k]), int(lat.C_Z[k])
+            if cx == 0:
+                src = f_cur_ch[k]
+            elif cx == 1:
+                if PX > 1:
+                    src = jnp.concatenate(
+                        [f_prev_ch[k, PX - 1 :], f_cur_ch[k, : PX - 1]], axis=0
+                    )
+                else:
+                    src = f_prev_ch[k]
+            else:
+                if PX > 1:
+                    src = jnp.concatenate(
+                        [f_cur_ch[k, 1:], f_next_ch[k, :1]], axis=0
+                    )
+                else:
+                    src = f_next_ch[k]
+            val = dec(shift_flat(src, cy, cz), k)
+            if sharded and cx == 1:
+                ev = dec(shift_flat(fe_ref[k, 0], cy, cz), k)[None]
+                val = jnp.where(lix2 == 0, ev, val)
+            elif sharded and cx == -1:
+                ev = dec(shift_flat(fe_ref[k, 1], cy, cz), k)[None]
+                val = jnp.where(lix2 == XL - 1, ev, val)
+            if cz > 0:
+                val = jnp.where(ifz == 0, face_value(k, 4), val)
+            elif cz < 0:
+                val = jnp.where(ifz == Z - 1, face_value(k, 5), val)
+            if cy > 0:
+                val = jnp.where(ify == 0, face_value(k, 2), val)
+            elif cy < 0:
+                val = jnp.where(ify == Y - 1, face_value(k, 3), val)
+            if cx < 0:
+                val = jnp.where(ix2 == X - 1, face_value(k, 1), val)
+            elif cx > 0:
+                val = jnp.where(ix2 == 0, face_value(k, 0), val)
+            streamed.append(val)
+
+        def vel_nbr(dx, dy, dz):
+            if dx == 0:
+                src = v_cur_ch[:]
+            elif dx == -1:
+                if PX > 1:
+                    src = jnp.concatenate(
+                        [v_prev_ch[:, PX - 1 :], v_cur_ch[:, : PX - 1]], axis=1
+                    )
+                else:
+                    src = v_prev_ch[:]
+            else:
+                if PX > 1:
+                    src = jnp.concatenate(
+                        [v_cur_ch[:, 1:], v_next_ch[:, :1]], axis=1
+                    )
+                else:
+                    src = v_next_ch[:]
+            r = shift_flat(src, -dy, -dz)
+            if sharded and dx == -1:
+                ev = shift_flat(ve_ref[:, 0], -dy, -dz)[:, None]
+                r = jnp.where(lix2 == 0, ev, r)
+            elif sharded and dx == 1:
+                ev = shift_flat(ve_ref[:, 1], -dy, -dz)[:, None]
+                r = jnp.where(lix2 == XL - 1, ev, r)
+            own = v_cur_ch[:]
+            if dx > 0:
+                r = jnp.where(ix2 == X - 1, own, r)
+            elif dx < 0:
+                r = jnp.where(ix2 == 0, own, r)
+            if dy > 0:
+                r = jnp.where(ify == Y - 1, own, r)
+            elif dy < 0:
+                r = jnp.where(ify == 0, own, r)
+            if dz > 0:
+                r = jnp.where(ifz == Z - 1, own, r)
+            elif dz < 0:
+                r = jnp.where(ifz == 0, own, r)
+            return r
+
+        nbrs = (
+            vel_nbr(1, 0, 0), vel_nbr(-1, 0, 0),
+            vel_nbr(0, 1, 0), vel_nbr(0, -1, 0),
+            vel_nbr(0, 0, 1), vel_nbr(0, 0, -1),
+        )
+
+        kw = dict(
+            tau=patch.tau,
+            c_wale=c_wale,
+            nu_sgs_background=nu_sgs_background,
+            wall_model=wall_model,
+            sponge_blend=sponge_blend,
+        )
+        if g_native:
+            kw["g_shifted"] = True
+        f_out, rho_out, vel_out = cm.collide_unrolled_v2(
+            streamed, nbrs, obstacle_ref[:] != 0,
+            sponge_ref[:], wall_ref[:], u_inlet, **kw,
+        )
+        for k in range(27):
+            fout_ref[k] = enc(f_out[k], k)
+        rho_ref[:] = rho_out
+        velout_ref[:] = vel_out
+
+    n_scalar = 2 + (1 if sharded else 0)
+
+    def step(f, vel, u_inlet, t_seed, statics3d, iface=None,
+             edges=None, x_off=None, nsub=None):
+        assert not iface, "flat levels have no interface faces"
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_scalar,
+            grid=(NCH,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # f
+                pl.BlockSpec(memory_space=pl.ANY),  # vel
+                pl.BlockSpec((PX, M), lambda i, *_: (i, 0)),
+                pl.BlockSpec((PX, M), lambda i, *_: (i, 0)),
+                pl.BlockSpec((PX, M), lambda i, *_: (i, 0)),
+            ]
+            + (
+                [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 if sharded else []
+            ),
+            out_specs=[
+                pl.BlockSpec((27, PX, M), lambda i, *_: (0, i, 0)),
+                pl.BlockSpec((PX, M), lambda i, *_: (i, 0)),
+                pl.BlockSpec((3, PX, M), lambda i, *_: (0, i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((_SLOTS, 27, PX, M), f_dtype),
+                pltpu.VMEM((_SLOTS, 3, PX, M), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, _SLOTS)),
+            ],
+        )
+        plane = PX * M
+        est = (
+            _SLOTS * (27 * f_bytes + 3 * 4) * plane
+            + 2 * (1 + 4 + 4) * plane
+            + 2 * (27 * f_bytes + 4 + 3 * 4) * plane
+        )
+        fo, rho, vo = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((27, XL, M), f_dtype),
+                jax.ShapeDtypeStruct((XL, M), jnp.float32),
+                jax.ShapeDtypeStruct((3, XL, M), jnp.float32),
+            ],
+            input_output_aliases={n_scalar: 0} if alias_f else {},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(
+                    100 * 2**20, int(est * VMEM_DECL_SCALE) + VMEM_DECL_PAD
+                ),
+            ),
+            interpret=interpret,
+        )(
+            jnp.asarray(u_inlet, jnp.float32).reshape(1),
+            jnp.asarray(t_seed, jnp.int32).reshape(1),
+            *(
+                (jnp.asarray(x_off, jnp.int32).reshape(1),) if sharded else ()
+            ),
+            f,
+            vel,
+            statics3d["obstacle_u8"],
+            statics3d["sponge3d"],
+            statics3d["wall3d"],
+            *(edges if sharded else ()),
+        )
+        return fo, rho, vo
+
+    step.g_native = g_native
+    step.iface_pair = False
+    step.bz_folded = False
+    step.flat = True
     return step

@@ -77,7 +77,10 @@ def shard_statics(statics: List[Dict], patches: List[PatchLevel],
     out = []
     for st, p in zip(statics, patches):
         d = {}
-        x3 = NamedSharding(mesh, P("x", None, None))
+        # flat-(y,z) levels carry (XS, M) rank-2 kernel fields
+        x3 = NamedSharding(
+            mesh, P("x", None) if p.flat_yz else P("x", None, None)
+        )
         for k, v in st.items():
             if k == "bouzidi":
                 d[k] = (

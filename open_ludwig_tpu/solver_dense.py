@@ -32,6 +32,7 @@ from .ops import storage
 from .ops.pallas_step import (
     make_bouzidi_pallas,
     make_pallas_step,
+    make_pallas_step_flat,
     prep_iface_pallas,
     prepare_pallas_statics,
 )
@@ -40,31 +41,37 @@ from .solver import ramp_velocity
 
 
 def init_patch_state(patch: PatchLevel, precision: str = "float32") -> Dict:
-    XS, YS, ZS = patch.padded
+    sh = patch.state_shape  # (XS, YS, ZS), or (XS, M) flat-(y,z)
     if storage.normalize_precision(precision) == storage.STORE_BF16:
         # g = f - w is exactly zero at the rest equilibrium
-        f = jnp.zeros((27, XS, YS, ZS), jnp.bfloat16)
+        f = jnp.zeros((27,) + sh, jnp.bfloat16)
     else:
         f = jnp.broadcast_to(
-            jnp.asarray(lat.W)[:, None, None, None], (27, XS, YS, ZS)
+            jnp.asarray(lat.W).reshape((27,) + (1,) * len(sh)), (27,) + sh
         ).astype(jnp.float32)
     return {
         "f": f,
-        "rho": jnp.ones((XS, YS, ZS), jnp.float32),
-        "vel": jnp.zeros((3, XS, YS, ZS), jnp.float32),
+        "rho": jnp.ones(sh, jnp.float32),
+        "vel": jnp.zeros((3,) + sh, jnp.float32),
     }
 
 
 def build_patch_statics(cfg: CaseConfig, patches: List[PatchLevel]) -> List[Dict]:
     statics = []
     for p in patches:
-        st = {
-            "obstacle": jnp.asarray(p.obstacle.reshape(-1)),
-            "sponge": jnp.asarray(p.sponge.reshape(-1)),
-            "wall_dist": jnp.asarray(p.wall_dist.reshape(-1)),
-            "bouzidi": build_bouzidi_dense_plan(p, cfg.q_min_threshold),
-        }
+        st = {"bouzidi": build_bouzidi_dense_plan(p, cfg.q_min_threshold)}
         st.update(prepare_pallas_statics(p))
+        if p.flat_yz:
+            # flat (N,) views for the runner's masked reductions; the XLA
+            # dense path (which would also consume these) never runs on a
+            # flat level
+            st["obstacle"] = st["obstacle_u8"].reshape(-1).astype(bool)
+            st["sponge"] = st["sponge3d"].reshape(-1)
+            st["wall_dist"] = st["wall3d"].reshape(-1)
+        else:
+            st["obstacle"] = jnp.asarray(p.obstacle.reshape(-1))
+            st["sponge"] = jnp.asarray(p.sponge.reshape(-1))
+            st["wall_dist"] = jnp.asarray(p.wall_dist.reshape(-1))
         statics.append(st)
     return statics
 
@@ -80,7 +87,7 @@ _PALLAS_VMEM_BUDGET = 52 * 2**20
 
 
 def _pallas_fits(p: PatchLevel, store_bf16: bool = False) -> bool:
-    m = p.padded[1] * p.padded[2]
+    m = p.flat_m if p.flat_yz else p.padded[1] * p.padded[2]
     fb = 2 if store_bf16 else 4
     est1 = (4 * (27 * fb + 12) + 2 * 9 + 2 * (27 * fb + 16)) * m
     return est1 < _PALLAS_VMEM_BUDGET
@@ -103,7 +110,8 @@ def _shard_map_pstep(pstep, patch: PatchLevel, mesh):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    XS, YS, ZS = patch.padded
+    XS = patch.padded[0]
+    flat = patch.flat_yz  # state rank 3 (27, XS, M) instead of 4
     n_dev = mesh.devices.size
     assert XS % n_dev == 0, (XS, n_dev)
     XL = XS // n_dev
@@ -135,8 +143,8 @@ def _shard_map_pstep(pstep, patch: PatchLevel, mesh):
             edges=(f_edges, v_edges), x_off=me * XL, **kw,
         )
 
-    x4 = P(None, "x", None, None)
-    x3 = P("x", None, None)
+    x4 = P(None, "x", None) if flat else P(None, "x", None, None)
+    x3 = P("x", None) if flat else P("x", None, None)
     st3d_spec = {"obstacle_u8": x3, "sponge3d": x3, "wall3d": x3}
     # ghost planes: x-faces are whole (27, YS, ZS) planes consumed by the
     # first/last chunk only (replicate); y/z faces are x-row-major
@@ -208,7 +216,32 @@ def make_coarse_step_dense(
     shard_nx = mesh.devices.size if mesh is not None else 1
     psteps = []
     for li, p in enumerate(patches):
-        if use_pallas and _pallas_fits(p, store_bf16) \
+        if p.flat_yz and not (
+            use_pallas and _pallas_fits(p, store_bf16)
+            and p.padded[0] % shard_nx == 0
+        ):
+            raise RuntimeError(
+                f"level {p.level_id} stores flat-(y,z) but the Pallas step "
+                "is unavailable (the XLA dense path is 3-D only) — set "
+                "advanced.engine.flat_coarse: off for this case"
+            )
+        if p.flat_yz:
+            pstep = make_pallas_step_flat(
+                p,
+                c_wale=cfg.c_wale,
+                nu_sgs_background=cfg.nu_sgs_background,
+                inlet_turbulence=cfg.inlet_turbulence_intensity,
+                wall_model=cfg.wall_model_enabled,
+                sponge_blend=cfg.sponge_blend_distributions,
+                store_bf16=store_bf16,
+                interpret=interpret,
+                shard_nx=shard_nx,
+                alias_f=True,
+            )
+            if mesh is not None:
+                pstep = _shard_map_pstep(pstep, p, mesh)
+            psteps.append(pstep)
+        elif use_pallas and _pallas_fits(p, store_bf16) \
                 and p.padded[0] % shard_nx == 0:
             pstep = make_pallas_step(
                 p,
@@ -479,7 +512,7 @@ def hbm_report_patches(
     lines = [f"HBM breakdown (dense patches, {precision} f-storage):"]
     total = 0
     for p, st in zip(patches, statics):
-        n = p.n_padded
+        n = p.padded[0] * p.flat_m if p.flat_yz else p.n_padded
         state_b = n * (27 * f_bytes + 4 * (1 + 3))  # f + rho + vel
         # static fields live twice: flat (N,) for the XLA path + 3-D copies
         # for the Pallas chunk BlockSpecs (obstacle u8, sponge f32, wall f32)

@@ -75,3 +75,49 @@ def test_single_level_dense_vs_blocks(tmp_path):
         np.asarray(bstate[0]["vel"]), levels[0].coords, levels[0].dims
     )[:, :X, :Y, :Z]
     assert np.abs(v_dense - v_blocks).max() < 5e-6
+
+
+@pytest.mark.slow  # 374s: compiles the 2-level XLA step twice on CPU
+def test_z_pad_tile_invariance(tmp_path):
+    """The storage z-pad tile (core.patch.Z_PAD_TILE) is pure layout: a
+    2-level case stepped under tile 128 (round-2 layout) and tile 8 must
+    produce identical interior fields — pad cells are obstacle-filled and
+    never feed interior physics, and the interface einsum plans encode the
+    same operators for any slab padding."""
+    from open_ludwig_tpu.core import patch as patch_mod
+
+    make_case_sphere(
+        str(tmp_path), "1M", surface_resolution=8, num_levels=2, steps=4,
+        ramp_steps=2, output_freq=100, diag_freq=100, wake_enabled=True,
+        wall_model=True, inlet_turbulence=0.02,
+    )
+    cfg = load_case_config(str(tmp_path))
+    mesh = load_mesh(cfg.stl_path)
+    params = compute_domain_params(cfg, mesh.min_bounds, mesh.max_bounds)
+
+    results = {}
+    tile0 = patch_mod.Z_PAD_TILE
+    try:
+        for tile in (128, 8):
+            patch_mod.Z_PAD_TILE = tile
+            patches = build_patches(cfg, mesh, params)
+            stat = build_patch_statics(cfg, patches)
+            state = [init_patch_state(p) for p in patches]
+            cs = make_coarse_step_dense(cfg, params, patches, stat,
+                                        use_pallas=False)
+            for t in range(1, 4):
+                state = cs(state, jnp.int32(t))
+            results[tile] = (patches, state)
+    finally:
+        patch_mod.Z_PAD_TILE = tile0
+
+    pa, sa = results[128]
+    pb, sb = results[8]
+    for lvl in range(2):
+        assert pa[lvl].interior == pb[lvl].interior
+        X, Y, Z = pa[lvl].interior
+        for key in ("f", "rho", "vel"):
+            a = np.asarray(sa[lvl][key], np.float32)[..., :X, :Y, :Z]
+            b = np.asarray(sb[lvl][key], np.float32)[..., :X, :Y, :Z]
+            d = np.abs(a - b).max()
+            assert d == 0.0, (lvl, key, d)

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 
 from open_ludwig_tpu import lattice as lat
 from open_ludwig_tpu.config import CaseConfig
+from open_ludwig_tpu.core import patch as patch_mod
 from open_ludwig_tpu.core.patch import (
     BC_INLET,
     BC_INTERFACE,
@@ -80,7 +81,7 @@ def test_patch_builder_invariants(tmp_path):
             if c.face_bc[2 * ax + 1] == BC_INTERFACE:
                 assert hi_need <= p.lo[ax] + p.interior[ax]
         # padded dims tile-aligned
-        assert c.padded[1] % 8 == 0 and c.padded[2] % 128 == 0
+        assert c.padded[1] % 8 == 0 and c.padded[2] % patch_mod.Z_PAD_TILE == 0
         # geometry is inside the fine patch
     fin = patches[-1]
     assert fin.obstacle[: fin.interior[0], : fin.interior[1], : fin.interior[2]].any()
