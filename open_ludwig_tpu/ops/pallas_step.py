@@ -994,7 +994,11 @@ def make_pallas_step_flat(
         PX = PX_OVERRIDE[patch.level_id]
     else:
         PX = 1
-        for cand in (8, 4, 2):
+        # flat levels favor LARGER chunks than the 3-D kernel's (8, 4, 2):
+        # the Re1M bench coarse level measured 1473 -> 1304 us/coarse going
+        # PX 8 -> 16 (interleaved A/B, tools/probe_coarse --px "1:8;1:16")
+        # — per-chunk DMA/dispatch overhead dominates at M-wide flat planes
+        for cand in (16, 8, 4, 2):
             plane_c = cand * M
             est_c = (
                 _SLOTS * (27 * f_bytes + 3 * 4) * plane_c

@@ -40,8 +40,12 @@ from .scaling import DomainParams
 from .solver import ramp_velocity
 
 
-def init_patch_state(patch: PatchLevel, precision: str = "float32") -> Dict:
+def init_patch_state(
+    patch: PatchLevel, precision: str = "float32", force_3d: bool = False
+) -> Dict:
     sh = patch.state_shape  # (XS, YS, ZS), or (XS, M) flat-(y,z)
+    if force_3d:
+        sh = patch.padded  # rest state in 3-D layout regardless of flat_yz
     if storage.normalize_precision(precision) == storage.STORE_BF16:
         # g = f - w is exactly zero at the rest equilibrium
         f = jnp.zeros((27,) + sh, jnp.bfloat16)
@@ -338,7 +342,10 @@ def make_coarse_step_dense(
 
     frozen_iface = None
     if _iface_mode == "frozen":
-        sts0 = [init_patch_state(p, cfg.precision) for p in patches]
+        # rest states in 3-D layout: the legacy endpoint path used by the
+        # frozen dissection mode doesn't consume flat-(y,z) parents
+        sts0 = [init_patch_state(p, cfg.precision, force_3d=True)
+                for p in patches]
         frozen_iface = [None]
         for li in range(1, n_levels):
             ep0 = interface_endpoints(patches[li], patches[li - 1], sts0[li - 1])

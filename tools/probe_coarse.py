@@ -28,6 +28,12 @@ def main():
                     help="pad every level's XS to this multiple")
     ap.add_argument("--reps", type=int, default=5,
                     help="timed windows; min is reported (tunnel is shared)")
+    ap.add_argument("--flat", type=str, default="auto",
+                    help="flat_coarse override: auto|on|off")
+    ap.add_argument("--px", type=str, default="",
+                    help="PX_OVERRIDE variants, ';'-separated, each "
+                    "lvl:px,... (e.g. '1:8;1:16;1:32') — every variant "
+                    "becomes an interleaved A/B mode")
     args = ap.parse_args()
 
     import jax
@@ -57,7 +63,16 @@ def main():
         steps=400, ramp_steps=200, output_freq=100000, diag_freq=100000,
         wake_enabled=True, precision=args.precision,
     )
-    cfg = load_case_config(tmp)
+    cfg = load_case_config(tmp).with_overrides(flat_coarse=args.flat)
+    px_variants = [None]
+    if args.px:
+        px_variants = []
+        for var in args.px.split(";"):
+            d = {}
+            for kv in var.split(","):
+                k, v = kv.split(":")
+                d[int(k)] = int(v)
+            px_variants.append(d)
     mesh = load_mesh(cfg.stl_path, scale=cfg.stl_scale)
     params = compute_domain_params(cfg, mesh.min_bounds, mesh.max_bounds)
     levels = build_patches(cfg, mesh, params, x_multiple=args.xmult)
@@ -70,9 +85,15 @@ def main():
     # The tunnel TPU shows multi-minute windows of ~2-2.5x contention from
     # other tenants; interleaving puts all modes through the same windows
     # and the per-mode min is the uncontended time.
+    from open_ludwig_tpu.ops.pallas_step import PX_OVERRIDE
+
     runners = {}
-    for mode in args.iface.split(","):
-        for bzm in args.bz.split(","):
+    for pxv in px_variants:
+        if pxv is not None:
+            PX_OVERRIDE.clear()
+            PX_OVERRIDE.update(pxv)
+        for mode in args.iface.split(","):
+          for bzm in args.bz.split(","):
             coarse = make_coarse_step_dense(
                 cfg, params, levels, statics, _iface_mode=mode,
                 _bz_fold=bzm == "fold",
@@ -96,6 +117,8 @@ def main():
             jax.block_until_ready(states[0]["rho"])
             compile_s = time.perf_counter() - t0
             key = mode if args.bz == "fold" else f"{mode}/{bzm}"
+            if pxv is not None:
+                key += " px=" + ",".join(f"{k}:{v}" for k, v in pxv.items())
             runners[key] = (run, states, compile_s, arrs)
 
     dts = {m: [] for m in runners}
