@@ -31,6 +31,10 @@ def save_checkpoint(path_dir: str, step: int, states: List[Dict]) -> str:
     }
     for i, st in enumerate(states):
         for key, arr in st.items():
+            if key.startswith("_"):
+                continue  # derived carries (e.g. "_ifsl" endpoint slabs):
+                # recomputed from f/rho/vel by coarse_step.seed_slabs on
+                # resume, not physical state
             a = np.asarray(arr)
             if a.dtype == jnp.bfloat16:
                 # npz can't serialize the ml_dtypes extension dtype; store the

@@ -574,6 +574,59 @@ _MM_EINSUM_S = {  # vel+rho component stack (t): c = A-class, d = B-class
 }
 
 
+def extract_endpoint_slabs(plan: Dict, state: Dict) -> List[Dict]:
+    """Per-group endpoint slabs of ONE parent state for the pair_mm pipeline
+    — the extraction half of interface_planes_pair_mm, factored out so the
+    time-stepper can CARRY a step's "new" slabs as the next step's "old"
+    (solver_dense stashes them under the parent state's "_ifsl" key).  The
+    old endpoint is then never re-extracted, and — decisively — the
+    pre-step f/rho/vel arrays lose their only consumer besides the aliased
+    step kernel, so XLA updates them truly in place across scan iterations
+    instead of inserting whole-array protection copies.
+
+    Per group: {"f": (nf, 27, a, b[,N]), "rho": (nf, a, b[,N]),
+    "vel": (nf, 3, a, b[,N])} in the storage dtype (leading nf axis dropped
+    for a merged z-group), exactly the per-state layout the pair_mm slab
+    stack is built from."""
+    flat_yz = plan.get("flat")
+    out = []
+    for grp in plan["groups"]:
+        ax = grp["axis"]
+        sz = grp["sizes"]
+        nhot = Z_NHOT and ax == 2
+        merged = nhot and all(s == grp["starts"][0] for s in grp["starts"])
+
+        def one(key, lead, _nhot=nhot, _merged=merged, _grp=grp, _ax=ax):
+            starts = _grp["starts"][:1] if _merged else _grp["starts"]
+            per_face = []
+            for st3, (i0, i1, wf) in zip(starts, _grp["lerp_idx"]):
+                if flat_yz is not None:
+                    Yp, Zp = flat_yz
+                    x0, y0, z0 = st3
+                    nx, ny, nz = sz
+                    a = state[key][..., x0 : x0 + nx, y0 * Zp : (y0 + ny) * Zp]
+                    a = a.reshape(a.shape[:-1] + (ny, Zp))
+                    sl = a[..., z0 : z0 + nz]
+                else:
+                    sl = jax.lax.dynamic_slice(
+                        state[key],
+                        (0,) * lead + st3,
+                        state[key].shape[:lead] + sz,
+                    )
+                if not _nhot:
+                    lo = jax.lax.index_in_dim(sl, i0, lead + _ax, keepdims=False)
+                    hi = jax.lax.index_in_dim(sl, i1, lead + _ax, keepdims=False)
+                    sl = (1.0 - wf) * lo + wf * hi
+                per_face.append(sl)
+            stk = jnp.stack(per_face)
+            return stk[0] if _merged else stk
+
+        out.append(
+            {"f": one("f", 1), "rho": one("rho", 0), "vel": one("vel", 1)}
+        )
+    return out
+
+
 def interface_planes_pair_mm(
     plan: Dict,
     patch: PatchLevel,
@@ -584,6 +637,8 @@ def interface_planes_pair_mm(
     g_shifted: bool = False,
     out_dtype=jnp.float32,
     pair_layout: bool = False,
+    slabs_old: Optional[List[Dict]] = None,
+    slabs_new: Optional[List[Dict]] = None,
 ) -> Dict[int, jnp.ndarray]:
     """interface_planes_pair computed via the precomputed linear operators of
     build_iface_mm_plan — identical math (endpoint slabs -> temporal blend ->
@@ -602,12 +657,17 @@ def interface_planes_pair_mm(
     tau_f = patch.tau - 0.5
     scale = float(np.clip(tau_f / tau_c, 0.01, 100.0)) if tau_c > 1e-6 else 1.0
     flat_yz = plan.get("flat")  # (Y, Z) of a flat-(y,z) parent, else None
-    blend = use_temporal and p_old is not None
+    blend = use_temporal and (
+        p_old is not None or slabs_old is not None
+    )
     states = [p_old, p_new] if blend else [p_new]
     cv = jnp.asarray(np.array([-1.0, 0.0, 1.0], np.float32))
     out = {}
-    is_g_store = p_new["f"].dtype == jnp.bfloat16
-    for grp in plan["groups"]:
+    if slabs_new is not None:
+        is_g_store = slabs_new[0]["f"].dtype == jnp.bfloat16
+    else:
+        is_g_store = p_new["f"].dtype == jnp.bfloat16
+    for gi, grp in enumerate(plan["groups"]):
         ax = grp["axis"]
         nf = len(grp["faces"])
         sz = grp["sizes"]
@@ -668,10 +728,26 @@ def interface_planes_pair_mm(
                 )
             return sl[0] if _merged else sl
 
-        keep = nhot
-        f_sl = slab("f", 1, keep)  # ([nf,] nw, 27, a, b[, N]) storage dtype
-        r_sl = slab("rho", 0, keep)
-        v_sl = slab("vel", 1, keep)
+        if slabs_new is not None:
+            # precomputed per-state slabs (extract_endpoint_slabs layout):
+            # stack old/new on the state axis and apply the (0.0, 0.5)
+            # temporal weights — bit-identical to the inline extraction
+            def slab_pre(key, _merged=merged, _gi=gi):
+                n_sl = slabs_new[_gi][key]
+                if not blend:
+                    return n_sl[None] if _merged else n_sl[:, None]
+                o_sl = slabs_old[_gi][key]
+                axis = 0 if _merged else 1
+                return jnp.stack([o_sl, 0.5 * (o_sl + n_sl)], axis=axis)
+
+            f_sl = slab_pre("f")
+            r_sl = slab_pre("rho")
+            v_sl = slab_pre("vel")
+        else:
+            keep = nhot
+            f_sl = slab("f", 1, keep)  # ([nf,] nw, 27, a, b[,N]) storage dt
+            r_sl = slab("rho", 0, keep)
+            v_sl = slab("vel", 1, keep)
         nw = f_sl.shape[0] if merged else f_sl.shape[1]
         A, B = grp["A"], grp["B"]
         UA3, UB3 = grp["UA3"], grp["UB3"]

@@ -61,8 +61,11 @@ def state_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
 
 def shard_states(states: List[Dict], mesh: Mesh) -> List[Dict]:
     sh = state_shardings(mesh)
+    # derived carries (e.g. "_ifsl" slabs) are dropped: the batch runner
+    # re-seeds them on device with GSPMD-inferred placements
     return [
-        {k: jax.device_put(v, sh[k]) for k, v in st.items()} for st in states
+        {k: jax.device_put(v, sh[k]) for k, v in st.items() if k in sh}
+        for st in states
     ]
 
 
@@ -132,6 +135,9 @@ def make_batch_runner_sharded(
         return out
 
     def run(states, t0, n: int):
+        # seed the carried endpoint slabs (same carry-structure contract as
+        # make_batch_runner_dense); the slab arrays inherit GSPMD placements
+        states = coarse_step.seed_slabs(states)
         return _run(states, arrs, t0, n)
 
     run.pallas_levels = coarse_step.pallas_levels

@@ -23,6 +23,7 @@ from .ops.dense_step import (
     build_bouzidi_dense_plan,
     build_iface_mm_plan,
     dense_stream_collide,
+    extract_endpoint_slabs,
     interface_endpoints,
     interface_endpoints_pair,
     interface_from_endpoints,
@@ -408,9 +409,29 @@ def make_coarse_step_dense(
                 if frozen_iface is not None:
                     if_a = if_b = frozen_iface[lvl + 1]
                 elif psteps[lvl + 1] is not None:
+                    # slab-carry: the OLD endpoint slabs are the previous
+                    # parent step's NEW slabs (stashed under "_ifsl"), so the
+                    # pre-step f/rho/vel have no consumer besides the aliased
+                    # kernel and XLA updates them in place across the scan
+                    # (no whole-array protection copies).  Callers that scan
+                    # over coarse_step must seed the key first
+                    # (coarse_step.seed_slabs); un-seeded direct calls fall
+                    # back to inline old-slab extraction.
+                    old_sl = None
+                    if use_temporal:
+                        old_sl = st.get("_ifsl")
+                        if old_sl is None:
+                            old_sl = extract_endpoint_slabs(
+                                mm_plans[lvl + 1], st
+                            )
+                    new_sl = extract_endpoint_slabs(
+                        mm_plans[lvl + 1], states[lvl]
+                    )
+                    if use_temporal:
+                        states[lvl]["_ifsl"] = new_sl
                     planes = interface_planes_pair_mm(
                         mm_plans[lvl + 1], child, patch,
-                        st if use_temporal else None, states[lvl],
+                        None, states[lvl],
                         use_temporal, g_shifted=g_native[lvl + 1],
                         # ghost planes in the storage dtype: halves the feq
                         # tail's write traffic and the kernel's plane reads
@@ -420,6 +441,8 @@ def make_coarse_step_dense(
                             jnp.bfloat16 if g_native[lvl + 1] else jnp.float32
                         ),
                         pair_layout=True,
+                        slabs_old=old_sl,
+                        slabs_new=new_sl,
                     )
                     # both sub-steps consume the SAME pair arrays; the
                     # sub-step plane is picked by the kernel's index_map
@@ -447,6 +470,24 @@ def make_coarse_step_dense(
         visit(0, t, None)
         return states
 
+    def seed_slabs(states: List[Dict]) -> List[Dict]:
+        """Stash "_ifsl" (carried endpoint slabs) on every pair-mode parent
+        level so coarse_step's carry structure is scan-invariant.  Callers
+        that lax.scan over coarse_step MUST run this once on the initial
+        states (the batch runners do); idempotent."""
+        states = list(states)
+        if frozen_iface is not None:
+            return states  # dissection mode: planes are constants, no carry
+        for lvl in range(n_levels - 1):
+            if psteps[lvl + 1] is not None and use_temporal \
+                    and "_ifsl" not in states[lvl]:
+                states[lvl] = dict(states[lvl])
+                states[lvl]["_ifsl"] = extract_endpoint_slabs(
+                    mm_plans[lvl + 1], states[lvl]
+                )
+        return states
+
+    coarse_step.seed_slabs = seed_slabs
     # which levels run the fused Pallas kernel (vs the XLA dense fallback) —
     # introspection for tests/dryruns asserting the production kernel is live
     coarse_step.pallas_levels = tuple(ps is not None for ps in psteps)
@@ -501,6 +542,10 @@ def make_batch_runner_dense(
         return out
 
     def run(states, t0, n: int):
+        # seed the carried endpoint slabs once (host-side structure check,
+        # device-side extraction) so _run always sees one carry structure —
+        # a single compile instead of one per seeding state
+        states = coarse_step.seed_slabs(states)
         return _run(states, arrs, t0, n)
 
     run.pallas_levels = coarse_step.pallas_levels

@@ -44,7 +44,9 @@ def build(tmp, flat, args):
         cfg, params, levels, statics,
         use_pallas=True, interpret=args.interpret,
     )
-    states = [init_patch_state(p, cfg.precision) for p in levels]
+    states = coarse.seed_slabs(
+        [init_patch_state(p, cfg.precision) for p in levels]
+    )
     arrs = statics_arg_arrays(statics)
     return cfg, levels, statics, coarse, states, arrs
 

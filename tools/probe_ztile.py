@@ -86,6 +86,7 @@ def main():
             return out
 
         states = [init_patch_state(p, cfg.precision) for p in levels]
+        states = coarse.seed_slabs(states)
         t0 = time.perf_counter()
         states = run(states, arrs, np.int32(1), args.n)
         jax.block_until_ready(states[0]["rho"])
