@@ -165,6 +165,7 @@ def test_interface_plane_linear_field():
     assert pl[13, 1, 1] == pytest.approx(lat.W64[13] * rho_expect, rel=1e-5)
 
 
+@pytest.mark.slow  # compile-heavy on CPU; full suite still runs it
 @pytest.mark.parametrize("use_temporal", [True, False])
 @pytest.mark.parametrize("g_shifted", [True, False])
 @pytest.mark.parametrize("parent_lo", [(0, 0, 0), (6, 4, 2)])

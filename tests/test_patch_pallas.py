@@ -148,6 +148,7 @@ def test_bouzidi_dense_matches_sparse(rng):
     )
 
 
+@pytest.mark.slow  # compile-heavy on CPU; full suite still runs it
 @pytest.mark.parametrize("store_bf16", [False, True])
 def test_sharded_pallas_step_matches_single(rng, store_bf16):
     """Production multichip path: the fused Pallas kernel under shard_map
@@ -363,6 +364,7 @@ def test_production_multichip_dryrun():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow  # compile-heavy on CPU; full suite still runs it
 def test_pair_layout_coarse_matches_xla(tmp_path):
     """The production multi-level coarse step with pair-layout ghost planes
     (Pallas interpret) must match the XLA dense path on interior cells —
@@ -405,6 +407,7 @@ def test_pair_layout_coarse_matches_xla(tmp_path):
         ).max()
         assert df < 2e-5, (li, df)
 
+@pytest.mark.slow  # compile-heavy on CPU; full suite still runs it
 def test_bouzidi_folded_coarse_matches_xla(tmp_path):
     """The production coarse step with the Bouzidi correction FOLDED into
     the step kernel's delayed-flush output ring must match the XLA dense

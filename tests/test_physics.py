@@ -34,6 +34,7 @@ def _empty_patch(interior, tau=0.56):
     )
 
 
+@pytest.mark.slow  # compile-heavy on CPU; full suite still runs it
 def test_uniform_flow_develops():
     """Empty tunnel driven by the inlet: the interior converges toward the
     inlet velocity with rho ~ 1 (mass/momentum transport sanity)."""

@@ -86,6 +86,7 @@ def test_bf16_matches_f32_multilevel(sphere_case):
         assert float(jnp.max(jnp.abs(a["vel"] - b["vel"]))) < 1e-3
 
 
+@pytest.mark.slow  # compile-heavy on CPU; full suite still runs it
 def test_bf16_checkpoint_roundtrip(sphere_case, tmp_path):
     from open_ludwig_tpu import checkpoint as ckpt
 

@@ -24,6 +24,7 @@ def tiny_case(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow  # compile-heavy on CPU; full suite still runs it
 def test_solve_case_patch_layout(tiny_case):
     cfg = load_case_config(tiny_case)
     res = solve_case(cfg)
@@ -48,6 +49,7 @@ def test_solve_case_patch_layout(tiny_case):
     assert root.attrib["type"] == "UnstructuredGrid"
 
 
+@pytest.mark.slow  # compile-heavy on CPU; full suite still runs it
 def test_checkpoint_resume(tiny_case):
     cfg = load_case_config(tiny_case).with_overrides(
         checkpoint_freq=10, steps=20
@@ -92,6 +94,7 @@ def test_force_output_freq_cadence(tmp_path):
     assert [int(r["Step"]) for r in conv] == [10, 20]
 
 
+@pytest.mark.slow  # compile-heavy on CPU; full suite still runs it
 def test_async_depth_subbatching(tiny_case):
     """async_depth bounds steps per dispatch without changing results
     (reference: gpu.async_depth, main.jl:166-180)."""
@@ -157,6 +160,7 @@ def test_symmetric_half_model_e2e(tmp_path):
     assert np.isfinite(res.final_forces.Cd)
 
 
+@pytest.mark.slow  # compile-heavy on CPU; full suite still runs it
 def test_three_level_production_e2e(tmp_path):
     """Flagship configuration guard: 3 levels + Bouzidi + wall model + WALE +
     forces end-to-end, asserting finite Cd and bounded rho (VERDICT r1 #8)."""
@@ -177,6 +181,7 @@ def test_three_level_production_e2e(tmp_path):
     assert len(forces) == 2
 
 
+@pytest.mark.slow  # compile-heavy on CPU; full suite still runs it
 @pytest.mark.parametrize("mode", ["zero", "auto"])
 def test_num_levels_auto(tmp_path, mode):
     """num_levels: 0 and auto_levels pick the domain-capped level count
