@@ -108,6 +108,11 @@ class CaseConfig:
     # surface-stress mapping (the reference's single nearest-cell sample
     # biases the pressure drag of streamlined bodies; see ops/forces.py)
     force_extrapolate: bool = False
+    # "stress" (reference parity: nearest-cell stress sampling) or
+    # "momentum_exchange" (2 sum f_k c_k over Bouzidi links; the method the
+    # reference carries as dead code, src/forces/global.jl — required for
+    # streamlined-body drag, see ops/forces.py MEMContext)
+    force_method: str = "stress"
     moment_center: Tuple[float, float, float] = (0.25, 0.0, 0.0)
 
     # --- advanced.diagnostics ---
@@ -274,6 +279,7 @@ def parse_config(cfg: Dict, case_dir: str = "") -> CaseConfig:
         forces_enabled=bool(_get(cfg, "advanced", "forces", "enabled", default=True)),
         force_output_freq=int(_get(cfg, "advanced", "forces", "output_freq", default=0)),
         force_extrapolate=bool(_get(cfg, "advanced", "forces", "extrapolate", default=False)),
+        force_method=str(_get(cfg, "advanced", "forces", "method", default="stress")),
         moment_center=tuple(float(v) for v in mc),
         diag_freq=int(_get(cfg, "advanced", "diagnostics", "freq", default=500)),
         stability_check=bool(

@@ -941,6 +941,451 @@ def make_pallas_step(
     return step
 
 
+def _chunks_2d_vmem_est(PX, PY, ZS, f_bytes):
+    """Per-chunk VMEM footprint of make_pallas_step_2d: rotating windows of
+    (27|3, PX, PY, ZS) centers + y-halo row buffers (sublane dim PX pads to
+    the 8 tile) + pipelined static in-blocks + double-buffered out-blocks."""
+    plane = PX * PY * ZS
+    halo = PY * ZS  # x-halo plane buffers (x0-1, x0+PX; this strip's rows)
+    return (
+        _SLOTS * (27 * f_bytes + 3 * 4) * (plane + 2 * halo)
+        + 2 * 9 * plane  # statics: obstacle u8 + sponge f32 + wall f32
+        + 2 * (27 * f_bytes + 4 + 3 * 4) * plane  # out: f + rho + vel
+    )
+
+
+def choose_2d_chunks(
+    patch: PatchLevel, store_bf16: bool, shard_nx: int = 1,
+    px_c=(16, 8, 4), py_c=(32, 16, 8),
+):
+    """(PX, PY) chunk dims for make_pallas_step_2d, or None if no choice
+    fits the per-chunk VMEM budget.  Prefers large PX (amortizes per-chunk
+    dispatch/vector-op overheads; the x-halo rides the already-resident
+    neighbor chunks), then large PY (the y-halo row DMAs are a 2/PY read
+    amplification)."""
+    XS, YS, ZS = patch.padded
+    if patch.flat_yz or BC_INTERFACE in patch.face_bc or XS % shard_nx:
+        return None
+    XL = XS // shard_nx
+    fbytes = 2 if store_bf16 else 4
+    for PX in px_c:
+        if XL % PX:
+            continue
+        for PY in py_c:
+            if YS % PY:
+                continue
+            if _chunks_2d_vmem_est(PX, PY, ZS, fbytes) < 36 * 2**20:
+                return PX, PY
+    return None
+
+
+def make_pallas_step_2d(
+    patch: PatchLevel,
+    *,
+    c_wale: float,
+    nu_sgs_background: float,
+    inlet_turbulence: float,
+    wall_model: bool,
+    sponge_blend: bool,
+    interpret: bool = False,
+    chunk_dims=None,  # (PX, PY); None = choose_2d_chunks
+    store_bf16: bool = False,
+    shard_nx: int = 1,
+):
+    """make_pallas_step for domains whose whole-x-plane window exceeds VMEM:
+    the grid chunks (PX x-planes x PY y-rows) so the window footprint scales
+    with PX*PY*ZS instead of PX*YS*ZS — this is what covers the reference's
+    large-domain perf rows (64M cells at 400 MLUPS, 216M at 300, reference:
+    README.md:508-509) that the 1-D kernel cannot reach past ~28M cells.
+
+    Same physics and BC forms as make_pallas_step; the index algebra changes:
+
+      - grid = (NCX, NCY) with the y-strips FASTEST, so the y-halo rides the
+        prev/next rotating slots (in-register sublane concats) — Mosaic
+        forbids the alternative (single-y-row HBM slices are unaligned to
+        the (8, 128) tiling; x is a major dim, so single-x-plane slices
+        lower fine);
+      - the x-halo planes (x0-1 and x0+PX, this strip's PY rows) arrive in
+        separate per-slot plane buffers (two extra DMAs per chunk, a 2/PX
+        read amplification); the x-streaming shift is a leading-axis roll
+        whose wrapped rows are PATCHED from those buffers — the same select
+        mechanism the 1-D kernel uses for sharded slab edges.  Corner pulls
+        (cx and cy both nonzero) take the y-concat of the prev/next slots'
+        halo buffers, so every read stays static;
+      - halo DMAs at the domain x ends clamp to valid planes; the junk they
+        deliver only feeds destination rows the x-face BC masks overwrite;
+      - NOT in-place (no alias_f): chunk (ci, cj)'s x-lo halo DMA re-reads
+        the plane chunk (ci-1, cj) produced output for a full column ago —
+        in-place writes would race that read, so input and output f stay
+        separate buffers (a capacity cost only; big-domain runs shard over
+        chips anyway);
+      - interface faces are unsupported (choose_2d_chunks gates on them):
+        fine levels small enough to carry ghost planes fit the 1-D kernel.
+
+    Sharded (shard_nx > 1): the ppermute'd neighbor edge planes arrive
+    striped per y-strip with their own halo rows ((27|3, 2, NCY, PY+2, ZS),
+    built by the step wrapper from the (27|3, 2, YS, ZS) planes
+    _shard_map_pstep exchanges), so the slab-edge reads are static too.
+    """
+    XS, YS, ZS = patch.padded
+    X, Y, Z = patch.interior
+    fb = patch.face_bc
+    assert BC_INTERFACE not in fb, "2-D chunked kernel: no interface faces"
+    sharded = shard_nx > 1
+    assert XS % shard_nx == 0, (XS, shard_nx)
+    XL = XS // shard_nx
+    f_dtype = jnp.bfloat16 if store_bf16 else jnp.float32
+    f_bytes = 2 if store_bf16 else 4
+    g_native = store_bf16  # bf16 storage holds g = f - w (ops.storage)
+
+    def dec(x, k):
+        return x.astype(jnp.float32) if store_bf16 else x
+
+    def enc(x, k):
+        return x.astype(jnp.bfloat16) if store_bf16 else x
+
+    if chunk_dims is None:
+        chunk_dims = choose_2d_chunks(patch, store_bf16, shard_nx)
+    assert chunk_dims is not None, "no (PX, PY) fits the VMEM budget"
+    PX, PY = chunk_dims
+    assert XL % PX == 0 and YS % PY == 0, (XL, YS, PX, PY)
+    assert PY % 8 == 0, PY  # HBM sublane slices must be (8,)-tile aligned
+    NCX, NCY = XL // PX, YS // PY
+    NG = NCX * NCY
+
+    def kernel(u_ref, seed_ref, *pre_rest):
+        if sharded:
+            xoff_ref, *pre_rest = pre_rest
+        f_hbm, vel_hbm = pre_rest[0], pre_rest[1]  # ANY (manual DMA)
+        obstacle_ref, sponge_ref, wall_ref = pre_rest[2:5]  # (PX,PY,ZS) VMEM
+        rest = pre_rest[5:]
+        off = 0
+        if sharded:
+            # striped edge planes: (27|3, 2, 1, PY+2, ZS) per-strip blocks
+            fe_ref, ve_ref = rest[off], rest[off + 1]
+            off += 2
+        fout_ref, rho_ref, velout_ref = rest[off : off + 3]
+        fwin, vwin, flo, fhi, vlo, vhi, sems = rest[off + 3 :]
+
+        ci = pl.program_id(0)
+        cj = pl.program_id(1)
+        g = ci * NCY + cj
+        lx3 = jax.lax.broadcasted_iota(jnp.int32, (PX, PY, ZS), 0)
+        lix3 = lx3 + ci * PX  # slab-local x (== global unsharded)
+        ix3 = lix3 + xoff_ref[0] if sharded else lix3
+        iy3 = jax.lax.broadcasted_iota(jnp.int32, (PX, PY, ZS), 1) + cj * PY
+        iz3 = jax.lax.broadcasted_iota(jnp.int32, (PX, PY, ZS), 2)
+
+        def chunk_dmas(gq):
+            slot = gq % _SLOTS
+            ci2 = gq // NCY
+            cj2 = gq - ci2 * NCY
+            x0 = ci2 * PX
+            y0 = cj2 * PY
+            # clamped at the slab x ends: the junk planes only feed
+            # destinations the x-face masks (or slab-edge selects) overwrite
+            xl_ = jnp.maximum(x0 - 1, 0)
+            xh_ = jnp.minimum(x0 + PX, XL - 1)
+            return (
+                pltpu.make_async_copy(
+                    f_hbm.at[:, pl.ds(x0, PX), pl.ds(y0, PY)],
+                    fwin.at[slot], sems.at[0, slot],
+                ),
+                pltpu.make_async_copy(
+                    f_hbm.at[:, xl_, pl.ds(y0, PY)], flo.at[slot],
+                    sems.at[1, slot],
+                ),
+                pltpu.make_async_copy(
+                    f_hbm.at[:, xh_, pl.ds(y0, PY)], fhi.at[slot],
+                    sems.at[2, slot],
+                ),
+                pltpu.make_async_copy(
+                    vel_hbm.at[:, pl.ds(x0, PX), pl.ds(y0, PY)],
+                    vwin.at[slot], sems.at[3, slot],
+                ),
+                pltpu.make_async_copy(
+                    vel_hbm.at[:, xl_, pl.ds(y0, PY)], vlo.at[slot],
+                    sems.at[4, slot],
+                ),
+                pltpu.make_async_copy(
+                    vel_hbm.at[:, xh_, pl.ds(y0, PY)], vhi.at[slot],
+                    sems.at[5, slot],
+                ),
+            )
+
+        def start_dma(gq):
+            for cp in chunk_dmas(gq):
+                cp.start()
+
+        def wait_dma(gq):
+            for cp in chunk_dmas(gq):
+                cp.wait()
+
+        @pl.when(g == 0)
+        def _warmup():
+            start_dma(jnp.int32(0))
+            if NG > 1:
+                start_dma(jnp.int32(1))
+            wait_dma(jnp.int32(0))
+            if NG > 1:
+                wait_dma(jnp.int32(1))
+
+        @pl.when(g + 2 <= NG - 1)
+        def _prefetch():
+            start_dma(g + 2)
+
+        @pl.when((g >= 1) & (g + 1 <= NG - 1))
+        def _await_next():
+            wait_dma(g + 1)
+
+        u_inlet = u_ref[0]
+        t_seed = seed_ref[0]
+
+        g_prev = jnp.maximum(g - 1, 0)
+        g_next = jnp.minimum(g + 1, NG - 1)
+        s_prev, s_cur, s_next = g_prev % _SLOTS, g % _SLOTS, g_next % _SLOTS
+
+        def ycat(win, k, cy, ax):
+            """y-halo from the rotating slots: [prev strip edge | chunk |
+            next strip edge] along the y axis (axis `ax` of the k-slice).
+            At strip ends the neighbor slot holds another x-column's data —
+            junk that only feeds destination rows the y-face masks overwrite
+            (the grid iterates y-strips fastest, so cj +- 1 of the same
+            column ARE the prev/next grid steps)."""
+            idx = (slice(None),) * ax
+            if cy == 0:
+                return win.at[s_cur][k]
+            if cy == 1:
+                return jnp.concatenate(
+                    [win.at[s_prev][k][idx + (slice(PY - 1, None),)],
+                     win.at[s_cur][k][idx + (slice(None, PY - 1),)]],
+                    axis=ax,
+                )
+            return jnp.concatenate(
+                [win.at[s_cur][k][idx + (slice(1, None),)],
+                 win.at[s_next][k][idx + (slice(None, 1),)]],
+                axis=ax,
+            )
+
+        if fb[0] == BC_INLET:
+            gy1 = (jax.lax.broadcasted_iota(jnp.int32, (PY, ZS), 0)
+                   + cj * PY + (patch.lo[1] + 1))
+            gz1 = (jax.lax.broadcasted_iota(jnp.int32, (PY, ZS), 1)
+                   + (patch.lo[2] + 1))
+            if inlet_turbulence > 0.0:
+                noise = cm.hash_noise(gy1, gz1, t_seed)
+                u_inst = u_inlet + noise * jnp.float32(inlet_turbulence) * u_inlet
+            else:
+                u_inst = jnp.broadcast_to(u_inlet, (PY, ZS)).astype(jnp.float32)
+            base1 = 0.0 if g_native else 1.0
+            inlet_factor = (base1 + 3.0 * u_inst + 3.0 * u_inst * u_inst)[None]
+        else:
+            inlet_factor = None
+
+        def face_value(k, face):
+            bc = fb[face]
+            if bc == BC_INLET:
+                return float(lat.W[k]) * inlet_factor
+            if bc == BC_OUTLET:
+                cu = float(lat.C_X[k]) * u_inlet
+                return float(lat.W[k]) * (
+                    (0.0 if g_native else 1.0)
+                    + 3.0 * cu + 4.5 * cu * cu - 1.5 * u_inlet * u_inlet
+                )
+            if bc == BC_MIRROR_Y:
+                return dec(fwin.at[s_cur][int(lat.MIRROR_Y[k])], k)
+            if bc == BC_MIRROR_Z:
+                return dec(fwin.at[s_cur][int(lat.MIRROR_Z[k])], k)
+            raise AssertionError(bc)
+
+        def ysel(a, s):
+            """out[y] = striped-edge row (y + s): rows lead by 1 halo row."""
+            return a[..., 1 + s : 1 + s + PY, :]
+
+        def zroll(a, cz):
+            return jnp.roll(a, cz, axis=-1) if cz else a
+
+        def xroll(a, cx, ax=0):
+            return jnp.roll(a, cx, axis=ax) if cx else a
+
+        streamed = []
+        for k in range(27):
+            cx, cy, cz = int(lat.C_X[k]), int(lat.C_Y[k]), int(lat.C_Z[k])
+            src = ycat(fwin, k, cy, 1)  # (PX, PY, ZS), y-shift applied
+            val = dec(zroll(xroll(src, cx), cz), k)
+            # wrapped x rows -> the halo plane buffers (y-concat'd across
+            # slots like the window, z-rolled like the shift)
+            if cx == 1:
+                row = dec(zroll(ycat(flo, k, cy, 0), cz), k)  # (PY, ZS)
+                val = jnp.where(lx3 == 0, row[None], val)
+            elif cx == -1:
+                row = dec(zroll(ycat(fhi, k, cy, 0), cz), k)
+                val = jnp.where(lx3 == PX - 1, row[None], val)
+            if sharded and cx == 1:
+                # slab-edge rows: the left neighbor's last plane, striped
+                # with its own y-halo so the diagonal pulls stay static
+                ev = dec(zroll(ysel(fe_ref[k, 0, 0], -cy), cz), k)[None]
+                val = jnp.where(lix3 == 0, ev, val)
+            elif sharded and cx == -1:
+                ev = dec(zroll(ysel(fe_ref[k, 1, 0], -cy), cz), k)[None]
+                val = jnp.where(lix3 == XL - 1, ev, val)
+            if cz > 0:
+                val = jnp.where(iz3 == 0, face_value(k, 4), val)
+            elif cz < 0:
+                val = jnp.where(iz3 == Z - 1, face_value(k, 5), val)
+            if cy > 0:
+                val = jnp.where(iy3 == 0, face_value(k, 2), val)
+            elif cy < 0:
+                val = jnp.where(iy3 == Y - 1, face_value(k, 3), val)
+            if cx < 0:
+                val = jnp.where(ix3 == X - 1, face_value(k, 1), val)
+            elif cx > 0:
+                val = jnp.where(ix3 == 0, face_value(k, 0), val)
+            streamed.append(val)
+
+        def vel_nbr(dx, dy, dz):
+            src = ycat(vwin, slice(None), -dy, 2)  # (3, PX, PY, ZS)
+            r = zroll(xroll(src, -dx, ax=1), -dz)
+            if dx == -1:
+                row = zroll(ycat(vlo, slice(None), -dy, 1), -dz)
+                r = jnp.where(lx3 == 0, row[:, None], r)
+            elif dx == 1:
+                row = zroll(ycat(vhi, slice(None), -dy, 1), -dz)
+                r = jnp.where(lx3 == PX - 1, row[:, None], r)
+            if sharded and dx == -1:
+                ev = zroll(ysel(ve_ref[:, 0, 0], dy), -dz)[:, None]
+                r = jnp.where(lix3 == 0, ev, r)
+            elif sharded and dx == 1:
+                ev = zroll(ysel(ve_ref[:, 1, 0], dy), -dz)[:, None]
+                r = jnp.where(lix3 == XL - 1, ev, r)
+            own = vwin.at[s_cur][:]
+            if dx > 0:
+                r = jnp.where(ix3 == X - 1, own, r)
+            elif dx < 0:
+                r = jnp.where(ix3 == 0, own, r)
+            if dy > 0:
+                r = jnp.where(iy3 == Y - 1, own, r)
+            elif dy < 0:
+                r = jnp.where(iy3 == 0, own, r)
+            if dz > 0:
+                r = jnp.where(iz3 == Z - 1, own, r)
+            elif dz < 0:
+                r = jnp.where(iz3 == 0, own, r)
+            return r
+
+        nbrs = (
+            vel_nbr(1, 0, 0), vel_nbr(-1, 0, 0),
+            vel_nbr(0, 1, 0), vel_nbr(0, -1, 0),
+            vel_nbr(0, 0, 1), vel_nbr(0, 0, -1),
+        )
+
+        kw = dict(
+            tau=patch.tau,
+            c_wale=c_wale,
+            nu_sgs_background=nu_sgs_background,
+            wall_model=wall_model,
+            sponge_blend=sponge_blend,
+        )
+        if g_native:
+            kw["g_shifted"] = True
+        f_out, rho_out, vel_out = cm.collide_unrolled_v2(
+            streamed, nbrs, obstacle_ref[:] != 0,
+            sponge_ref[:], wall_ref[:], u_inlet, **kw,
+        )
+        for k in range(27):
+            fout_ref[k] = enc(f_out[k], k)
+        rho_ref[:] = rho_out
+        velout_ref[:] = vel_out
+
+    n_scalar = 2 + (1 if sharded else 0)
+    if sharded:
+        # striped-edge gather rows: strip cj needs edge-plane rows
+        # [cj*PY - 1, cj*PY + PY], clamped at the global y ends (junk rows
+        # feed only mask-overwritten destinations)
+        _stripe_idx = np.clip(
+            np.arange(-1, PY + 1)[None, :] + PY * np.arange(NCY)[:, None],
+            0, YS - 1,
+        ).reshape(-1)
+
+    def step(f, vel, u_inlet, t_seed, statics3d, iface=None,
+             edges=None, x_off=None, nsub=None):
+        assert not iface, "2-D chunked kernel: no interface faces"
+        edge_vals = ()
+        edge_specs = []
+        if sharded:
+            f_edges, v_edges = edges
+            fe = f_edges[:, :, _stripe_idx].reshape(27, 2, NCY, PY + 2, ZS)
+            ve = v_edges[:, :, _stripe_idx].reshape(3, 2, NCY, PY + 2, ZS)
+            edge_vals = (fe, ve)
+            edge_specs = [
+                pl.BlockSpec((27, 2, 1, PY + 2, ZS),
+                             lambda i, j, *_: (0, 0, j, 0, 0)),
+                pl.BlockSpec((3, 2, 1, PY + 2, ZS),
+                             lambda i, j, *_: (0, 0, j, 0, 0)),
+            ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_scalar,
+            grid=(NCX, NCY),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # f
+                pl.BlockSpec(memory_space=pl.ANY),  # vel
+                pl.BlockSpec((PX, PY, ZS), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((PX, PY, ZS), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((PX, PY, ZS), lambda i, j, *_: (i, j, 0)),
+            ]
+            + edge_specs,
+            out_specs=[
+                pl.BlockSpec((27, PX, PY, ZS), lambda i, j, *_: (0, i, j, 0)),
+                pl.BlockSpec((PX, PY, ZS), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((3, PX, PY, ZS), lambda i, j, *_: (0, i, j, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((_SLOTS, 27, PX, PY, ZS), f_dtype),
+                pltpu.VMEM((_SLOTS, 3, PX, PY, ZS), jnp.float32),
+                pltpu.VMEM((_SLOTS, 27, PY, ZS), f_dtype),  # x-lo halo plane
+                pltpu.VMEM((_SLOTS, 27, PY, ZS), f_dtype),  # x-hi halo plane
+                pltpu.VMEM((_SLOTS, 3, PY, ZS), jnp.float32),
+                pltpu.VMEM((_SLOTS, 3, PY, ZS), jnp.float32),
+                pltpu.SemaphoreType.DMA((6, _SLOTS)),
+            ],
+        )
+        est = _chunks_2d_vmem_est(PX, PY, ZS, f_bytes)
+        fo, rho, vo = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((27, XL, YS, ZS), f_dtype),
+                jax.ShapeDtypeStruct((XL, YS, ZS), jnp.float32),
+                jax.ShapeDtypeStruct((3, XL, YS, ZS), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(
+                    100 * 2**20, int(est * VMEM_DECL_SCALE) + VMEM_DECL_PAD
+                ),
+            ),
+            interpret=interpret,
+        )(
+            jnp.asarray(u_inlet, jnp.float32).reshape(1),
+            jnp.asarray(t_seed, jnp.int32).reshape(1),
+            *(
+                (jnp.asarray(x_off, jnp.int32).reshape(1),) if sharded else ()
+            ),
+            f,
+            vel,
+            statics3d["obstacle_u8"],
+            statics3d["sponge3d"],
+            statics3d["wall3d"],
+            *edge_vals,
+        )
+        return fo, rho, vo
+
+    step.g_native = g_native
+    step.iface_pair = False
+    step.bz_folded = False
+    step.chunk_dims = (PX, PY)
+    return step
+
+
 def make_pallas_step_flat(
     patch: PatchLevel,
     *,

@@ -37,8 +37,10 @@ from .io.vtk import export_flow_vtu, export_flow_vtu_patches, export_surface_vtu
 from .ops.forces import (
     ForceContext,
     compute_aerodynamics,
+    compute_aerodynamics_mem,
     make_force_context,
     make_force_context_dense,
+    make_mem_context,
 )
 from .solver import make_batch_runner
 from .solver_dense import (
@@ -147,6 +149,39 @@ def solve_case(cfg: CaseConfig) -> SolveResult:
         )
     else:
         force_ctx = None
+    mem_ctx = None
+    if force_ctx is not None and cfg.force_method == "momentum_exchange":
+        if dense:
+            from .ops.storage import STORE_BF16, normalize_precision
+
+            mem_ctx = make_mem_context(
+                levels[-1], params, mesh.n_triangles,
+                g_storage=normalize_precision(cfg.precision) == STORE_BF16,
+            )
+        if mem_ctx is None:
+            log.warning(
+                "[Forces] method=momentum_exchange needs Bouzidi links on "
+                "the finest level of the patch layout; falling back to "
+                "stress mapping"
+            )
+        else:
+            log.info(
+                "[Forces] momentum-exchange integration over %d Bouzidi "
+                "links", int(mem_ctx.flat_idx.shape[0]),
+            )
+
+    def _forces(st: List[Dict]):
+        """Integrated aerodynamics at the configured method.  The stress
+        mapping always runs (its per-triangle pressure/shear maps feed the
+        surface VTK); momentum exchange replaces the integrals/coefficients
+        (reference: the dead method at src/forces/global.jl:15-148 — live
+        here because the CV study proved stress sampling cannot resolve
+        streamlined-body drag, see VALIDATION.md)."""
+        base = compute_aerodynamics(st[-1], force_ctx)
+        if mem_ctx is None:
+            return base
+        return compute_aerodynamics_mem(st[-1], mem_ctx, base=base)
+
     if dense and cfg.devices > 1:
         from .parallel.patch_shard import (
             make_batch_runner_sharded,
@@ -210,7 +245,7 @@ def solve_case(cfg: CaseConfig) -> SolveResult:
         # force-CSV cadence independent of diagnostics (reference:
         # FORCE_OUTPUT_FREQ falling back to DIAG_FREQ, config_loader.jl:192)
         if force_ctx is not None and fof > 0 and t_done % fof == 0:
-            fr = compute_aerodynamics(states[-1], force_ctx)
+            fr = _forces(states)
             last_forces = fr
             append_forces(
                 force_csv, t_done, t_done * params.time_scale, fr,
@@ -234,7 +269,7 @@ def solve_case(cfg: CaseConfig) -> SolveResult:
                 # reference's single FORCE_OUTPUT_FREQ cadence
                 # (reference: forces/io.jl:100, config_loader.jl:192)
                 if last_forces is None or t_done % fof != 0:
-                    last_forces = compute_aerodynamics(states[-1], force_ctx)
+                    last_forces = _forces(states)
                 fr = last_forces
                 cd_str, cl_str = f"{fr.Cd:.4f}", f"{fr.Cl:.4f}"
             wall = walltime_str(t_start)
@@ -280,7 +315,7 @@ def solve_case(cfg: CaseConfig) -> SolveResult:
                 )
             if force_ctx is not None:
                 if last_forces is None or t_done % cfg.diag_freq != 0:
-                    last_forces = compute_aerodynamics(states[-1], force_ctx)
+                    last_forces = _forces(states)
                 export_surface_vtu(
                     os.path.join(out_dir, f"surface_{t_done:06d}.vtu"),
                     mesh.vertices, mesh.normals, mesh.areas,

@@ -31,8 +31,10 @@ from .ops.dense_step import (
 )
 from .ops import storage
 from .ops.pallas_step import (
+    choose_2d_chunks,
     make_bouzidi_pallas,
     make_pallas_step,
+    make_pallas_step_2d,
     make_pallas_step_flat,
     prep_iface_pallas,
     prepare_pallas_statics,
@@ -285,6 +287,32 @@ def make_coarse_step_dense(
             if mesh is not None:
                 pstep = _shard_map_pstep(pstep, p, mesh)
             psteps.append(pstep)
+        elif use_pallas and choose_2d_chunks(
+            p, store_bf16, shard_nx
+        ) is not None:
+            # plane too large for the 1-D whole-x-plane window: the (x, y)
+            # chunked kernel covers the reference's 64M/216M-cell rows
+            # (reference: README.md:508-509) without falling back to the XLA
+            # path, whose (27, N) temporaries exceed HBM at these sizes
+            pstep = make_pallas_step_2d(
+                p,
+                c_wale=cfg.c_wale,
+                nu_sgs_background=cfg.nu_sgs_background,
+                inlet_turbulence=cfg.inlet_turbulence_intensity,
+                wall_model=cfg.wall_model_enabled,
+                sponge_blend=cfg.sponge_blend_distributions,
+                store_bf16=store_bf16,
+                interpret=interpret,
+                shard_nx=shard_nx,
+            )
+            if mesh is not None:
+                pstep = _shard_map_pstep(pstep, p, mesh)
+            psteps.append(pstep)
+            print(
+                f"  [engine] level {p.level_id}: plane "
+                f"{p.padded[1]}x{p.padded[2]} exceeds the 1-D window budget; "
+                "using the 2-D (x,y)-chunked Pallas kernel"
+            )
         else:
             psteps.append(None)
             if use_pallas:

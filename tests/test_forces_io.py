@@ -307,3 +307,85 @@ def test_pressure_extrapolation_improves_wall_sampling(tmp_path):
         errs[extrap] = np.abs(res.pressure_map[found] - p_wall).mean()
     # extrapolation must cut the mean wall-pressure error substantially
     assert errs[True] < 0.6 * errs[False], errs
+
+
+def test_momentum_exchange_matches_numpy_reference(tmp_path, rng):
+    """Momentum-exchange integration (advanced.forces.method:
+    momentum_exchange; the method the reference carries as dead code at
+    src/forces/global.jl:15-148): the jitted gather/segment-sum pipeline
+    must equal a direct numpy loop over the Bouzidi link list — per-link
+    2 f_k c_k, moments about the moment center, per-triangle attribution."""
+    import jax.numpy as jnp
+
+    from open_ludwig_tpu import lattice as lat
+    from open_ludwig_tpu.cases import make_case_sphere
+    from open_ludwig_tpu.config import load_case_config
+    from open_ludwig_tpu.core.patch import build_patches
+    from open_ludwig_tpu.geometry import load_mesh
+    from open_ludwig_tpu.ops.forces import (
+        compute_aerodynamics_mem,
+        make_mem_context,
+    )
+    from open_ludwig_tpu.scaling import compute_domain_params
+
+    d = str(tmp_path)
+    make_case_sphere(d, "1M", surface_resolution=14, num_levels=1, steps=1,
+                     ramp_steps=1, output_freq=100, diag_freq=100,
+                     wake_enabled=False)
+    cfg = load_case_config(d)
+    tri = load_mesh(cfg.stl_path, scale=cfg.stl_scale)
+    params = compute_domain_params(cfg, tri.min_bounds, tri.max_bounds)
+    patch = build_patches(cfg, tri, params)[-1]
+    assert patch.bouzidi is not None and patch.bouzidi.n_boundary_cells > 0
+
+    ctx = make_mem_context(patch, params, tri.n_triangles, g_storage=True)
+    assert ctx is not None
+    n_links = int(ctx.flat_idx.shape[0])
+    assert n_links > 100
+
+    XS, YS, ZS = patch.padded
+    f = (0.01 * rng.standard_normal((27, XS, YS, ZS))).astype(np.float32)
+    res = compute_aerodynamics_mem({"f": jnp.asarray(f)}, ctx)
+
+    # --- numpy reference straight from the Bouzidi data ---
+    bz = patch.bouzidi
+    q = bz.q_map.astype(np.float64)
+    F = np.zeros(3)
+    M = np.zeros(3)
+    F_tri = np.zeros((3, tri.n_triangles))
+    mc = np.asarray(params.moment_center, np.float64)
+    lo = np.asarray(patch.lo, np.float64)
+    for i in range(bz.n_boundary_cells):
+        gx, gy, gz = int(bz.cell_gx[i]), int(bz.cell_gy[i]), int(bz.cell_gz[i])
+        cent = (np.array([gx, gy, gz], np.float64) + lo + 0.5) * patch.dx
+        for k in range(27):
+            if not (0.0 < q[i, k] <= 1.0):
+                continue
+            c = np.array([lat.C_X[k], lat.C_Y[k], lat.C_Z[k]], np.float64)
+            # g-storage: stored value + w_k = f_k
+            val = np.float64(f[k, gx, gy, gz]) + lat.W[k]
+            dF = 2.0 * val * c
+            F += dF
+            M += np.cross(cent - mc, dF)
+            t = int(bz.tri_map[i, k])
+            if t >= 0:
+                F_tri[:, t] += dF
+    F *= params.force_scale
+    M *= params.force_scale
+    F_tri *= params.force_scale
+    if params.symmetric:
+        F = np.array([2 * F[0], 0.0, 2 * F[2]])
+        M = np.array([0.0, 2 * M[1], 0.0])
+
+    got = np.array([res.Fx, res.Fy, res.Fz])
+    scale = np.abs(F).max() + 1e-12
+    assert np.abs(got - F).max() / scale < 1e-4, (got, F)
+    gotM = np.array([res.Mx, res.My, res.Mz])
+    mscale = np.abs(M).max() + 1e-12
+    assert np.abs(gotM - M).max() / mscale < 1e-4, (gotM, M)
+    assert res.force_map.shape == (3, tri.n_triangles)
+    np.testing.assert_allclose(res.force_map, F_tri, rtol=2e-3,
+                               atol=1e-6 * scale)
+    # coefficients consistent with the integrals
+    q_inf = 0.5 * params.rho_physical * params.u_physical**2
+    assert abs(res.Cd - res.Fx / (q_inf * params.reference_area)) < 1e-9

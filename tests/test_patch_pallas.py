@@ -114,6 +114,103 @@ def test_pallas_matches_dense_interpret(rng):
     assert d.max() < 1e-5, d.max()
 
 
+@pytest.mark.parametrize("store_bf16", [False, True])
+def test_pallas_2d_matches_dense_interpret(rng, store_bf16):
+    """The (x, y)-chunked kernel (make_pallas_step_2d) vs the XLA dense path
+    on a multi-strip (NY=3), multi-chunk (NCX=4) grid with all boundary
+    types, wall model, sponge and inlet noise on — the configuration that
+    exercises the 3-DMA halo-window assembly and the static sublane-slice
+    streaming on every code path."""
+    from open_ludwig_tpu.ops.pallas_step import make_pallas_step_2d
+    from open_ludwig_tpu.ops.storage import decode_f, encode_f
+
+    X, Y, Z = 8, 24, 120
+    p = _patch((X, Y, Z), tau=0.53)
+    p.obstacle[3:5, 9:12, 50:54] = True
+    p.sponge[6:, :, :] = 0.3
+    p.wall_dist[2, 10, 49] = 1.0
+    f0 = (lat.W[:, None, None, None] * (1 + 0.05 * rng.standard_normal(
+        (27,) + p.padded))).astype(np.float32)
+    v0 = (0.02 * rng.standard_normal((3,) + p.padded)).astype(np.float32)
+    static_flat = {
+        "obstacle": jnp.asarray(p.obstacle.reshape(-1)),
+        "sponge": jnp.asarray(p.sponge.reshape(-1)),
+        "wall_dist": jnp.asarray(p.wall_dist.reshape(-1)),
+        "bouzidi": None,
+    }
+    kw = dict(c_wale=0.5, nu_sgs_background=5e-4, inlet_turbulence=0.02,
+              wall_model=True, sponge_blend=True)
+    fj, vj = jnp.asarray(f0), jnp.asarray(v0)
+    u, s = jnp.float32(0.04), jnp.int32(9)
+    f_ref, r_ref, v_ref = dense_stream_collide(fj, vj, u, s, static_flat, p, **kw)
+    pstep = make_pallas_step_2d(p, interpret=True, store_bf16=store_bf16,
+                                chunk_dims=(2, 8), **kw)
+    f_in = encode_f(fj, "bfloat16") if store_bf16 else fj
+    f_pl, r_pl, v_pl = pstep(f_in, vj, u, s, prepare_pallas_statics(p))
+    if store_bf16:
+        f_pl = decode_f(f_pl)
+    X_, Y_, Z_ = p.interior
+    tol = 2e-3 if store_bf16 else 1e-5
+    d = np.abs(np.asarray(f_pl, np.float32)[:, :X_, :Y_, :Z_]
+               - np.asarray(f_ref)[:, :X_, :Y_, :Z_])
+    assert d.max() < tol, d.max()
+    dv = np.abs(np.asarray(v_pl)[:, :X_, :Y_, :Z_]
+                - np.asarray(v_ref)[:, :X_, :Y_, :Z_])
+    assert dv.max() < tol, dv.max()
+
+
+@pytest.mark.slow  # compile-heavy on CPU; full suite still runs it
+def test_sharded_pallas_2d_matches_single(rng):
+    """The 2-D chunked kernel under shard_map x-slab decomposition (the
+    multi-chip path for 100M+-cell domains) must match the unsharded 2-D
+    kernel on interior cells."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from open_ludwig_tpu.ops.pallas_step import make_pallas_step_2d
+    from open_ludwig_tpu.solver_dense import _shard_map_pstep
+
+    n_dev = 4
+    if len(jax.devices()) < n_dev:
+        pytest.skip("needs 4 virtual devices")
+    X, Y, Z = 16, 16, 120
+    p = _patch((X, Y, Z), tau=0.55)
+    p.obstacle[6:9, 6:10, 50:56] = True
+    p.sponge[13:, :, :] = 0.4
+    kw = dict(c_wale=0.5, nu_sgs_background=5e-4, inlet_turbulence=0.01,
+              wall_model=True, sponge_blend=True, interpret=True,
+              store_bf16=True)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("x",))
+    st3d = prepare_pallas_statics(p)
+    f0 = (lat.W[:, None, None, None] * 0.03 * rng.standard_normal(
+        (27,) + p.padded)).astype(np.float32)  # g-space
+    v0 = (0.02 * rng.standard_normal((3,) + p.padded)).astype(np.float32)
+
+    step1 = make_pallas_step_2d(p, chunk_dims=(2, 8), **kw)
+    fA, vA = jnp.asarray(f0, jnp.bfloat16), jnp.asarray(v0)
+    for t in range(2):
+        fA, rA, vA = step1(fA, vA, 0.02, t, st3d)
+
+    stepN = _shard_map_pstep(
+        make_pallas_step_2d(p, chunk_dims=(2, 8), shard_nx=n_dev, **kw),
+        p, mesh,
+    )
+    xsh = NamedSharding(mesh, P(None, "x"))
+    fB = jax.device_put(jnp.asarray(f0, jnp.bfloat16), xsh)
+    vB = jax.device_put(jnp.asarray(v0), xsh)
+    st3d_sh = dict(st3d)
+    for k in ("obstacle_u8", "sponge3d", "wall3d"):
+        st3d_sh[k] = jax.device_put(st3d[k], NamedSharding(mesh, P("x")))
+    for t in range(2):
+        fB, rB, vB = stepN(fB, vB, 0.02, t, st3d_sh)
+
+    X_, Y_, Z_ = p.interior
+    df = np.abs(np.asarray(fA, np.float32)[:, :X_, :Y_, :Z_]
+                - np.asarray(fB, np.float32)[:, :X_, :Y_, :Z_]).max()
+    dv = np.abs(np.asarray(vA)[:, :X_, :Y_, :Z_]
+                - np.asarray(vB)[:, :X_, :Y_, :Z_]).max()
+    assert df < 1e-6 and dv < 1e-6, (df, dv)
+
+
 def test_bouzidi_dense_matches_sparse(rng):
     X, Y, Z = 16, 16, 120
     nc = 40

@@ -1,0 +1,192 @@
+"""2-D (x,y)-chunked Pallas kernel: TPU equivalence + interleaved A/B timing
+against the 1-D whole-x-plane kernel, plus large-domain solo timing.
+
+Modes:
+  --check      : mid-size box where BOTH kernels fit; assert interior
+                 bit-equality on real TPU (the Mosaic-lowering proof).
+  --bench      : interleaved A/B (1-D vs 2-D) on the same box.
+  --big RES    : solo 2-D kernel timing on a large box (1-D kernel cannot
+                 run it) — the reference's 64M/216M-row coverage probe.
+"""
+
+import argparse
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, ".")
+
+
+def build_patch(res, precision):
+    import numpy as np
+
+    from open_ludwig_tpu.cases import make_case_sphere
+    from open_ludwig_tpu.config import load_case_config
+    from open_ludwig_tpu.core.patch import build_patches
+    from open_ludwig_tpu.geometry import load_mesh
+    from open_ludwig_tpu.scaling import compute_domain_params
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    make_case_sphere(
+        tmp, "1M", surface_resolution=res, num_levels=1,
+        steps=100, ramp_steps=50, output_freq=100000, diag_freq=100000,
+        precision=precision,
+    )
+    cfg = load_case_config(tmp)
+    mesh = load_mesh(cfg.stl_path, scale=cfg.stl_scale)
+    params = compute_domain_params(cfg, mesh.min_bounds, mesh.max_bounds)
+    levels = build_patches(cfg, mesh, params)
+    return cfg, levels[0]
+
+
+def make_steps(cfg, p, which, interpret, chunk_dims=None):
+    from open_ludwig_tpu.ops.pallas_step import (
+        make_pallas_step, make_pallas_step_2d,
+    )
+
+    kw = dict(
+        c_wale=cfg.c_wale,
+        nu_sgs_background=cfg.nu_sgs_background,
+        inlet_turbulence=cfg.inlet_turbulence_intensity,
+        wall_model=cfg.wall_model_enabled,
+        sponge_blend=cfg.sponge_blend_distributions,
+        store_bf16=cfg.precision == "bfloat16",
+        interpret=interpret,
+    )
+    if which == "1d":
+        return make_pallas_step(p, **kw)
+    return make_pallas_step_2d(p, chunk_dims=chunk_dims, **kw)
+
+
+def run_scan(step, statics3d, states, n, donate=True):
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnums=(2,), donate_argnums=(0,) if donate else ())
+    def run(st, t0, n):
+        def body(c, t):
+            f, rho, vel = step(c["f"], c["vel"], 0.03, t, statics3d)
+            return {"f": f, "rho": rho, "vel": vel}, None
+
+        out, _ = jax.lax.scan(body, st, t0 + jnp.arange(n, dtype=jnp.int32))
+        return out
+
+    return run
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from open_ludwig_tpu.jax_setup import setup_jax_cache
+
+    setup_jax_cache()
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true")
+    ap.add_argument("--bench", action="store_true")
+    ap.add_argument("--big", type=int, default=0)
+    ap.add_argument("--res", type=int, default=20)
+    ap.add_argument("--n", type=int, default=50)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--px", type=int, default=0)
+    ap.add_argument("--py", type=int, default=0)
+    ap.add_argument("--precision", type=str, default="bfloat16")
+    ap.add_argument("--interpret", action="store_true", default=None)
+    args = ap.parse_args()
+    if args.interpret is None:
+        args.interpret = jax.default_backend() == "cpu"
+    print(f"device: {jax.devices()[0]}", flush=True)
+
+    from open_ludwig_tpu.ops.pallas_step import choose_2d_chunks
+    from open_ludwig_tpu.solver_dense import init_patch_state
+    from open_ludwig_tpu.ops.pallas_step import prepare_pallas_statics
+
+    if args.big:
+        cfg, p = build_patch(args.big, args.precision)
+        cd = choose_2d_chunks(p, cfg.precision == "bfloat16")
+        if args.px and args.py:
+            cd = (args.px, args.py)
+        print(f"box {p.padded} = {p.n_cells/1e6:.1f}M cells, chunks {cd}",
+              flush=True)
+        step = make_steps(cfg, p, "2d", args.interpret, chunk_dims=cd)
+        st3d = prepare_pallas_statics(p)
+        st = init_patch_state(p, cfg.precision)
+        run = run_scan(step, st3d, st, args.n)
+        t0 = time.perf_counter()
+        st = run(st, np.int32(1), args.n)
+        jax.block_until_ready(st["rho"])
+        print(f"compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
+        best = float("inf")
+        for r in range(args.reps):
+            t0 = time.perf_counter()
+            st = run(st, np.int32(1 + (r + 1) * args.n), args.n)
+            jax.block_until_ready(st["rho"])
+            dt = (time.perf_counter() - t0) / args.n
+            best = min(best, dt)
+            print(f"  rep {r}: {dt*1e6:9.1f} us/step "
+                  f"({p.n_cells/dt/1e6:7.0f} MLUPS)", flush=True)
+        print(f"best: {p.n_cells/best/1e6:.0f} MLUPS", flush=True)
+        return
+
+    cfg, p = build_patch(args.res, args.precision)
+    cd = choose_2d_chunks(p, cfg.precision == "bfloat16")
+    if args.px and args.py:
+        cd = (args.px, args.py)
+    print(f"box {p.padded} = {p.n_cells/1e6:.1f}M cells, 2d chunks {cd}",
+          flush=True)
+    st3d = prepare_pallas_statics(p)
+
+    if args.check:
+        outs = {}
+        for which in ("1d", "2d"):
+            step = make_steps(cfg, p, which, args.interpret, chunk_dims=cd)
+            st = init_patch_state(p, cfg.precision)
+            run = run_scan(step, st3d, st, 3, donate=False)
+            st = run(st, np.int32(1), 3)
+            jax.block_until_ready(st["rho"])
+            outs[which] = st
+        X, Y, Z = p.interior
+        worst = 0.0
+        for key in ("f", "rho", "vel"):
+            a = np.asarray(outs["1d"][key], np.float32)[..., :X, :Y, :Z]
+            b = np.asarray(outs["2d"][key], np.float32)[..., :X, :Y, :Z]
+            d = float(np.abs(a - b).max())
+            worst = max(worst, d)
+            print(f"  {key}: max|diff| = {d:.3e}", flush=True)
+        print(f"worst: {worst:.3e} -> {'PASS' if worst == 0.0 else 'CHECK'}")
+        return
+
+    # --bench: interleaved A/B
+    runners = {}
+    for which in ("1d", "2d"):
+        step = make_steps(cfg, p, which, args.interpret, chunk_dims=cd)
+        st = init_patch_state(p, cfg.precision)
+        run = run_scan(step, st3d, st, args.n)
+        t0 = time.perf_counter()
+        st = run(st, np.int32(1), args.n)
+        jax.block_until_ready(st["rho"])
+        runners[which] = [run, st, time.perf_counter() - t0]
+    dts = {m: [] for m in runners}
+    for rep in range(args.reps):
+        for which, r in runners.items():
+            run, st, _c = r
+            t0 = time.perf_counter()
+            st = run(st, np.int32(args.n + 1), args.n)
+            jax.block_until_ready(st["rho"])
+            dts[which].append((time.perf_counter() - t0) / args.n)
+            r[1] = st
+    for which, r in runners.items():
+        dt = min(dts[which])
+        print(
+            f"{which} {dt*1e6:9.1f} us | {p.n_cells/dt/1e6:7.0f} MLUPS "
+            f"(compile {r[2]:.1f}s; reps "
+            + ",".join(f"{d*1e6:.0f}" for d in dts[which]) + ")",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
