@@ -1,9 +1,13 @@
-"""Headline benchmark: MLUPS/chip on the sphere Re~1M virtual wind tunnel.
+"""Headline benchmark: MLUPS-su/chip on the sphere Re~1M virtual wind tunnel.
 
 Mirrors the reference's validated sphere setup (reference:
 RESULTS_SPHERE_RE1M.txt:34-44 — N=25 cells/diameter, u_lat=0.03, 3 levels)
-and measures sustained million-lattice-updates/second over a timed window
-after warmup.  vs_baseline grades against the BASELINE.json acceptance
+and measures sustained million-lattice-SITE-updates/second (MLUPS-su:
+cells x 2^(level-1) per coarse step — every fine sub-step counts) over a
+timed window after warmup.  The runner's console prints MLUPS-ref instead
+(cells x coarse-steps, the reference's own convention, reference:
+main.jl:188-190) — 2.86x lower on this 3-level case; the two are labeled
+everywhere so neither can masquerade as the other.  vs_baseline grades against the BASELINE.json acceptance
 target of 2000 MLUPS/chip (the reference's own best claim is 800 MLUPS at
 1M cells on an RTX 4090, reference: README.md:506; its measured number is
 71.7 MLUPS, reference: RESULTS_SPHERE_RE1M.txt:239).
@@ -192,8 +196,10 @@ def main():
     mlups = _time_runner(run, states, updates_per_coarse, batch=400,
                          n_timed=2400, spread_s=20.0)
     result = {
-        "metric": "MLUPS/chip (D3Q27 sphere Re1M, 3 levels, "
-        f"{total_cells/1e6:.2f}M cells, bf16 storage/f32 math)",
+        "metric": "MLUPS-su/chip, site-updates (D3Q27 sphere Re1M, 3 levels, "
+        f"{total_cells/1e6:.2f}M cells, bf16 storage/f32 math; "
+        "the runner's console MLUPS-ref counts cells x coarse-steps instead, "
+        "2.86x lower on this case)",
         "value": round(mlups, 1),
         "unit": "MLUPS",
         "vs_baseline": round(mlups / _TARGET_MLUPS, 3),

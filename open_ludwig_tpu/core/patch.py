@@ -150,11 +150,39 @@ def _use_flat_yz(cfg, patch: "PatchLevel", is_finest: bool) -> bool:
         # single-level cases keep 3-D storage
     if patch.flat_m >= patch.padded[1] * patch.padded[2]:
         return False  # no dead padding to reclaim
-    if mode == "on":
-        return True
+    # availability gate, applied even under mode == "on": the flat layout
+    # has no XLA fallback, so if the Pallas flat step cannot run (CPU
+    # backend, VMEM overflow, or x-extent not divisible by the device
+    # count) the level is built in 3-D layout with a logged downgrade
+    # instead of aborting later in make_coarse_step_dense
     import jax
 
-    return jax.default_backend() not in ("cpu",)
+    pallas_ok = jax.default_backend() not in ("cpu",)
+    if pallas_ok:
+        from ..ops import storage as _st
+        from ..solver_dense import _pallas_fits  # lazy: import cycle
+
+        store_bf16 = (
+            _st.normalize_precision(getattr(cfg, "precision", "float32"))
+            == _st.STORE_BF16
+        )
+        devices = max(1, int(getattr(cfg, "devices", 1)))
+        was_flat = patch.flat_yz
+        patch.flat_yz = True  # _pallas_fits sizes the flat window
+        pallas_ok = (
+            _pallas_fits(patch, store_bf16)
+            and patch.padded[0] % devices == 0
+        )
+        patch.flat_yz = was_flat
+    if not pallas_ok:
+        if mode == "on":
+            log.warning(
+                "[Patch] level %d: flat_coarse=on but the Pallas flat step "
+                "is unavailable on this backend/shape; building the level "
+                "in 3-D layout instead", patch.level_id,
+            )
+        return False
+    return True
 
 
 def build_patches(

@@ -1007,11 +1007,14 @@ def make_pallas_step_2d(
         lower fine);
       - the x-halo planes (x0-1 and x0+PX, this strip's PY rows) arrive in
         separate per-slot plane buffers (two extra DMAs per chunk, a 2/PX
-        read amplification); the x-streaming shift is a leading-axis roll
-        whose wrapped rows are PATCHED from those buffers — the same select
-        mechanism the 1-D kernel uses for sharded slab edges.  Corner pulls
-        (cx and cy both nonzero) take the y-concat of the prev/next slots'
-        halo buffers, so every read stays static;
+        read amplification); the x-streaming shift CONCATENATES the halo
+        row onto the window along the untiled major x axis — the 1-D
+        kernel's mechanism.  Measured NEUTRAL vs the roll + patching
+        select it replaced (1682 vs 1685 MLUPS at 66M cells, within the
+        window noise; NOTES_ROUND4_PERF.md) — kept for the simpler
+        one-pass form.  Corner pulls (cx and cy both nonzero) take the
+        y-concat of the prev/next slots' halo buffers, so every read
+        stays static;
       - halo DMAs at the domain x ends clamp to valid planes; the junk they
         deliver only feeds destination rows the x-face BC masks overwrite;
       - NOT in-place (no alias_f): chunk (ci, cj)'s x-lo halo DMA re-reads
@@ -1205,22 +1208,34 @@ def make_pallas_step_2d(
         def zroll(a, cz):
             return jnp.roll(a, cz, axis=-1) if cz else a
 
-        def xroll(a, cx, ax=0):
-            return jnp.roll(a, cx, axis=ax) if cx else a
+        def xcat(src, row, cx, ax=0):
+            """x-shift by concat along the (untiled) major x axis — the
+            1-D kernel's mechanism; the halo plane buffer supplies the
+            wrapped row directly.  Measured neutral vs roll + patching
+            select (1682 vs 1685 MLUPS at 66M; NOTES_ROUND4_PERF.md) —
+            kept for the simpler one-pass form."""
+            row = jnp.expand_dims(row, ax)
+            idx = (slice(None),) * ax
+            if cx == 1:
+                return jnp.concatenate(
+                    [row, src[idx + (slice(None, PX - 1),)]], axis=ax
+                )
+            return jnp.concatenate(
+                [src[idx + (slice(1, None),)], row], axis=ax
+            )
 
         streamed = []
         for k in range(27):
             cx, cy, cz = int(lat.C_X[k]), int(lat.C_Y[k]), int(lat.C_Z[k])
             src = ycat(fwin, k, cy, 1)  # (PX, PY, ZS), y-shift applied
-            val = dec(zroll(xroll(src, cx), cz), k)
-            # wrapped x rows -> the halo plane buffers (y-concat'd across
-            # slots like the window, z-rolled like the shift)
+            # x-shift: halo plane buffers (y-concat'd across slots like the
+            # window) concatenated on at the shifted-off end
             if cx == 1:
-                row = dec(zroll(ycat(flo, k, cy, 0), cz), k)  # (PY, ZS)
-                val = jnp.where(lx3 == 0, row[None], val)
+                val = dec(zroll(xcat(src, ycat(flo, k, cy, 0), 1), cz), k)
             elif cx == -1:
-                row = dec(zroll(ycat(fhi, k, cy, 0), cz), k)
-                val = jnp.where(lx3 == PX - 1, row[None], val)
+                val = dec(zroll(xcat(src, ycat(fhi, k, cy, 0), -1), cz), k)
+            else:
+                val = dec(zroll(src, cz), k)
             if sharded and cx == 1:
                 # slab-edge rows: the left neighbor's last plane, striped
                 # with its own y-halo so the diagonal pulls stay static
@@ -1245,13 +1260,14 @@ def make_pallas_step_2d(
 
         def vel_nbr(dx, dy, dz):
             src = ycat(vwin, slice(None), -dy, 2)  # (3, PX, PY, ZS)
-            r = zroll(xroll(src, -dx, ax=1), -dz)
             if dx == -1:
-                row = zroll(ycat(vlo, slice(None), -dy, 1), -dz)
-                r = jnp.where(lx3 == 0, row[:, None], r)
+                r = zroll(xcat(src, ycat(vlo, slice(None), -dy, 1), 1, ax=1),
+                          -dz)
             elif dx == 1:
-                row = zroll(ycat(vhi, slice(None), -dy, 1), -dz)
-                r = jnp.where(lx3 == PX - 1, row[:, None], r)
+                r = zroll(xcat(src, ycat(vhi, slice(None), -dy, 1), -1, ax=1),
+                          -dz)
+            else:
+                r = zroll(src, -dz)
             if sharded and dx == -1:
                 ev = zroll(ysel(ve_ref[:, 0, 0], dy), -dz)[:, None]
                 r = jnp.where(lix3 == 0, ev, r)

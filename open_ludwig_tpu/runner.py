@@ -204,7 +204,8 @@ def solve_case(cfg: CaseConfig) -> SolveResult:
              cfg.steps, cfg.ramp_steps, cfg.diag_freq, cfg.output_freq)
     log.info(
         "%8s | %12s | %10s | %7s | %7s | %7s | %8s | %8s",
-        "Step", "Walltime", "Time[s]", "U_lat", "rho_min", "MLUPS", "Cd", "Cl",
+        "Step", "Walltime", "Time[s]", "U_lat", "rho_min", "MLUPS-ref", "Cd",
+        "Cl",
     )
 
     # event boundaries: diagnostics, VTK, forces, checkpoint
@@ -255,6 +256,8 @@ def solve_case(cfg: CaseConfig) -> SolveResult:
         if t_done % cfg.diag_freq == 0 or t_done == cfg.steps:
             jax.block_until_ready(states[0]["rho"])
             now = time.time()
+            # MLUPS-ref: cells x coarse-steps (reference: main.jl:188-190);
+            # see the end-of-run summary for the convention note
             mlups = total_cells * cfg.diag_freq / max(now - last_diag_time, 1e-9) / 1e6
             last_diag_time = now
             obs0 = statics[0]["obstacle"]
@@ -334,10 +337,18 @@ def solve_case(cfg: CaseConfig) -> SolveResult:
         t = t_done + 1
 
     wall_total = time.time() - t_start
+    # MLUPS-ref = total cells x COARSE steps / wall — the reference's
+    # convention (reference: main.jl:188-190), which under-counts fine-level
+    # sub-stepping.  bench.py reports MLUPS-su (true site updates,
+    # cells x 2^(level-1)); on the 3-level bench case the two differ by
+    # 2.86x.  Both are labeled wherever printed so neither masquerades as
+    # the other.
     mlups_total = total_cells * (cfg.steps - resume_step) / max(wall_total, 1e-9) / 1e6
     log.info("=" * 70)
     log.info(
-        "  COMPLETE | wall %.1f s | %.1f MLUPS end-to-end", wall_total, mlups_total
+        "  COMPLETE | wall %.1f s | %.1f MLUPS-ref end-to-end "
+        "(cells x coarse-steps; bench.py reports site-update MLUPS-su)",
+        wall_total, mlups_total,
     )
     if last_forces is not None:
         log.info(

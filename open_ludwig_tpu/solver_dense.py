@@ -580,6 +580,21 @@ def make_batch_runner_dense(
     return run
 
 
+def hbm_bytes_per_cell(precision: str, transient: bool = True) -> float:
+    """THE bytes-per-padded-cell formula, shared by hbm_report_patches and
+    estimate_capacity so the planner and the report cannot disagree
+    (reference's analogue: src/diagnostics_vram.jl:17-133):
+    27 f-entries + rho + vel, static fields twice (flat (N,) for the XLA
+    path + 3-D copies for the Pallas BlockSpecs: obstacle u8 + sponge f32 +
+    wall f32 = 9 B each), and optionally the step's transient second f copy
+    (the non-aliased kernel output / XLA double-buffer)."""
+    f_bytes = 2 if storage.normalize_precision(precision) == storage.STORE_BF16 else 4
+    per = (27 * f_bytes + 4 * (1 + 3)) + 2 * (1 + 4 + 4)
+    if transient:
+        per += 27 * f_bytes
+    return per
+
+
 def hbm_report_patches(
     patches: List[PatchLevel], statics: List[Dict], precision: str = "float32"
 ) -> str:
@@ -593,10 +608,14 @@ def hbm_report_patches(
     total = 0
     for p, st in zip(patches, statics):
         n = p.padded[0] * p.flat_m if p.flat_yz else p.n_padded
+        # resident split of hbm_bytes_per_cell (shared with
+        # estimate_capacity): state + doubled static fields; the transient
+        # f copy is reported once in the total line below
         state_b = n * (27 * f_bytes + 4 * (1 + 3))  # f + rho + vel
-        # static fields live twice: flat (N,) for the XLA path + 3-D copies
-        # for the Pallas chunk BlockSpecs (obstacle u8, sponge f32, wall f32)
         field_b = 2 * n * (1 + 4 + 4)
+        assert state_b + field_b == n * hbm_bytes_per_cell(
+            precision, transient=False
+        )
         bz = st.get("bouzidi")
         bz_b = 0
         if bz:
@@ -614,7 +633,17 @@ def hbm_report_patches(
             f"({n/1e6:.2f}M padded) | state {state_b/1e6:8.1f} MB | fields "
             f"{field_b/1e6:6.1f} MB | bouzidi {bz_b/1e6:5.1f} MB"
         )
-    lines.append(f"  estimated total: {total/1e9:.3f} GB")
+    # the step's transient second f copy (largest level dominates; counted
+    # in estimate_capacity's planning formula, so plan and report agree)
+    trans = max(
+        (p.padded[0] * p.flat_m if p.flat_yz else p.n_padded) * 27 * f_bytes
+        for p in patches
+    )
+    total += trans
+    lines.append(
+        f"  estimated total: {total/1e9:.3f} GB "
+        f"(incl. {trans/1e6:.0f} MB transient f copy during the step)"
+    )
     try:
         ms = jax.local_devices()[0].memory_stats()
         if ms and "bytes_in_use" in ms:
@@ -636,12 +665,10 @@ def estimate_capacity(hbm_gb: float = 0.0, precision: str = "float32") -> int:
     src/diagnostics_vram.jl estimate_mesh_capacity).  State is 27 f-entries +
     rho + vel per cell + 18 B of static fields; the step's transients add
     roughly one more f copy."""
-    f_bytes = 2 if storage.normalize_precision(precision) == storage.STORE_BF16 else 4
     if hbm_gb <= 0.0:
         try:
             ms = jax.local_devices()[0].memory_stats()
             hbm_gb = ms["bytes_limit"] / 1e9
         except Exception:
             hbm_gb = 16.0
-    bytes_per_cell = (27 * f_bytes + 16) + 18 + 27 * f_bytes
-    return int(hbm_gb * 1e9 / bytes_per_cell)
+    return int(hbm_gb * 1e9 / hbm_bytes_per_cell(precision, transient=True))

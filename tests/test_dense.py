@@ -226,3 +226,55 @@ def test_interface_planes_pair_mm_parity(rng, use_temporal, g_shifted,
         assert np.allclose(a, b, atol=2e-6), (
             face, np.abs(a - b).max()
         )
+
+
+def test_hbm_accounting_shared_formula():
+    """estimate_capacity and hbm_report_patches must share one
+    bytes-per-cell formula (they disagreed by ~15% once: the report counted
+    the doubled static fields, the planner did not count the transient f
+    copy).  The planner's capacity, re-expanded through the report's
+    per-cell split, must land within rounding of the budget it planned."""
+    from open_ludwig_tpu.solver_dense import estimate_capacity, hbm_bytes_per_cell
+
+    for precision in ("float32", "bfloat16"):
+        per = hbm_bytes_per_cell(precision, transient=True)
+        resident = hbm_bytes_per_cell(precision, transient=False)
+        f_bytes = 2 if precision == "bfloat16" else 4
+        assert per - resident == 27 * f_bytes  # transient = one f copy
+        cap = estimate_capacity(hbm_gb=16.0, precision=precision)
+        assert abs(cap * per - 16.0e9) < per  # exact inverse of the formula
+
+
+def test_flat_coarse_on_downgrades_gracefully_on_cpu(tmp_path):
+    """advanced.engine.flat_coarse: on, on a backend where the Pallas flat
+    step cannot run (CPU here): the level must be REBUILT in 3-D layout
+    with a logged downgrade instead of raising in make_coarse_step_dense
+    (the flat layout has no XLA fallback)."""
+    import dataclasses
+
+    from open_ludwig_tpu.cases import make_case_sphere
+    from open_ludwig_tpu.config import load_case_config
+    from open_ludwig_tpu.core.patch import build_patches
+    from open_ludwig_tpu.geometry import load_mesh
+    from open_ludwig_tpu.scaling import compute_domain_params
+    from open_ludwig_tpu.solver_dense import (
+        build_patch_statics,
+        init_patch_state,
+        make_batch_runner_dense,
+    )
+
+    d = str(tmp_path)
+    make_case_sphere(d, "1M", surface_resolution=8, num_levels=2, steps=4,
+                     ramp_steps=2, output_freq=100, diag_freq=100)
+    cfg = dataclasses.replace(load_case_config(d), flat_coarse="on")
+    tri = load_mesh(cfg.stl_path, scale=cfg.stl_scale)
+    params = compute_domain_params(cfg, tri.min_bounds, tri.max_bounds)
+    levels = build_patches(cfg, tri, params)
+    assert not any(p.flat_yz for p in levels)  # downgraded, not honored
+    statics = build_patch_statics(cfg, levels)
+    states = [init_patch_state(p, cfg.precision) for p in levels]
+    run = make_batch_runner_dense(cfg, params, levels, statics)  # no raise
+    states = run(states, np.int32(1), 2)
+    import jax
+
+    jax.block_until_ready(states[0]["rho"])

@@ -552,3 +552,46 @@ def test_bouzidi_folded_coarse_matches_xla(tmp_path):
             - np.asarray(sX[li]["f"], np.float32)[:, :X, :Y, :Z]
         ).max()
         assert df < 2e-5, (li, df)
+
+
+def test_sharded_pallas_step_matches_single_smoke(rng):
+    """Fast-tier multichip parity guard (ADVICE r3): 2 shards, 1 step, bf16
+    — the 4-shard/2-step/both-dtype version is slow-marked."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from open_ludwig_tpu.solver_dense import _shard_map_pstep
+
+    n_dev = 2
+    if len(jax.devices()) < n_dev:
+        pytest.skip("needs 2 virtual devices")
+    X, Y, Z = 8, 8, 120
+    p = _patch((X, Y, Z), tau=0.55)
+    p.obstacle[3:5, 3:5, 50:56] = True
+    kw = dict(c_wale=0.5, nu_sgs_background=5e-4, inlet_turbulence=0.01,
+              wall_model=True, sponge_blend=True, interpret=True,
+              store_bf16=True)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("x",))
+    st3d = prepare_pallas_statics(p)
+    f0 = (lat.W[:, None, None, None] * 0.03 * rng.standard_normal(
+        (27,) + p.padded)).astype(np.float32)  # g-space
+    v0 = (0.02 * rng.standard_normal((3,) + p.padded)).astype(np.float32)
+
+    step1 = make_pallas_step(p, **kw)
+    fA, rA, vA = step1(jnp.asarray(f0, jnp.bfloat16), jnp.asarray(v0),
+                       0.02, 0, st3d)
+
+    stepN = _shard_map_pstep(
+        make_pallas_step(p, shard_nx=n_dev, **kw), p, mesh
+    )
+    xsh = NamedSharding(mesh, P(None, "x"))
+    st3d_sh = dict(st3d)
+    for k in ("obstacle_u8", "sponge3d", "wall3d"):
+        st3d_sh[k] = jax.device_put(st3d[k], NamedSharding(mesh, P("x")))
+    fB, rB, vB = stepN(
+        jax.device_put(jnp.asarray(f0, jnp.bfloat16), xsh),
+        jax.device_put(jnp.asarray(v0), xsh), 0.02, 0, st3d_sh,
+    )
+    X_, Y_, Z_ = p.interior
+    df = np.abs(np.asarray(fA, np.float32)[:, :X_, :Y_, :Z_]
+                - np.asarray(fB, np.float32)[:, :X_, :Y_, :Z_]).max()
+    assert df < 1e-6, df

@@ -279,8 +279,54 @@ def test_checkpoint_resume_under_sharding(tmp_path):
     solve_case(cfg.with_overrides(steps=10))
     res_resumed = solve_case(cfg.with_overrides(checkpoint_resume=True))
     assert np.isfinite(res_resumed.final_forces.Cd)
-    assert abs(res_resumed.final_forces.Cd - res_full.final_forces.Cd) < 2e-2
+    # resume is DETERMINISTIC: checkpoints round-trip bf16 bit-exactly
+    # (test_precision.py), the carried "_ifsl" slabs re-derive from the
+    # saved state, and the full/resumed runs share batch boundaries (diag
+    # every 10), so the resumed trajectory is the uninterrupted one — the
+    # final Cd must match to float32 roundoff, not a loose physics band
+    # (a 2e-2 band would pass even if resume re-initialized a level)
+    assert abs(res_resumed.final_forces.Cd - res_full.final_forces.Cd) < 1e-5
     conv = list(csv.DictReader(
         open(os.path.join(cfg.output_path, "convergence.csv"))))
     steps = [int(r["Step"]) for r in conv]
     assert len(steps) == len(set(steps)) and max(steps) == 20
+
+
+# ---- fast-tier smoke variants of the slow guards (ADVICE r3): the full
+# checkpoint-resume / production-e2e tests above are slow-marked, so these
+# minimal versions keep the production paths guarded in `-m "not slow"` ----
+
+
+def test_checkpoint_resume_smoke(tmp_path):
+    """Fast-tier resume guard: save at 4, resume to 8, no duplicate rows."""
+    d = str(tmp_path)
+    make_case_sphere(
+        d, "1M", surface_resolution=8, num_levels=1, steps=4, ramp_steps=2,
+        output_freq=100, diag_freq=4, wake_enabled=False,
+        boundary_method="bounce_back", wall_model=False,
+    )
+    cfg = load_case_config(d).with_overrides(checkpoint_freq=4)
+    solve_case(cfg)
+    assert os.listdir(os.path.join(cfg.output_path, "checkpoints"))
+    res = solve_case(cfg.with_overrides(checkpoint_resume=True, steps=8))
+    assert res.final_stats.rho_min > 0.8
+    conv = list(csv.DictReader(
+        open(os.path.join(cfg.output_path, "convergence.csv"))))
+    steps = [int(r["Step"]) for r in conv]
+    assert len(steps) == len(set(steps)) and max(steps) == 8
+
+
+def test_production_features_e2e_smoke(tmp_path):
+    """Fast-tier flagship guard: 2 levels + Bouzidi + wall model + bf16 +
+    forces through solve_case (the slow 3-level version runs in the full
+    suite)."""
+    d = str(tmp_path)
+    make_case_sphere(
+        d, "1M", surface_resolution=8, num_levels=2, steps=6, ramp_steps=3,
+        output_freq=100, diag_freq=6, wake_enabled=False,
+        boundary_method="bouzidi", wall_model=True, precision="bfloat16",
+    )
+    cfg = load_case_config(d)
+    res = solve_case(cfg)
+    assert res.final_stats.rho_min > 0.8
+    assert np.isfinite(res.final_forces.Cd)

@@ -59,20 +59,35 @@ def make_steps(cfg, p, which, interpret, chunk_dims=None):
     return make_pallas_step_2d(p, chunk_dims=chunk_dims, **kw)
 
 
+
+def _sync(st):
+    """Materialize one element: on the axon tunnel backend
+    block_until_ready has been observed returning before the dispatched
+    program finishes (timing collapse at large shapes); a scalar fetch
+    is the reliable fence."""
+    import numpy as np
+
+    return float(np.asarray(st["rho"][0, 0, 0]))
+
 def run_scan(step, statics3d, states, n, donate=True):
     import jax
     import jax.numpy as jnp
 
-    @partial(jax.jit, static_argnums=(2,), donate_argnums=(0,) if donate else ())
-    def run(st, t0, n):
+    # statics threaded as jit ARGUMENTS, not closure captures: captured
+    # device arrays serialize as literal constants into the (remote)
+    # compile request, which the axon tunnel rejects past ~100 MB
+    # (HTTP 413) — the same statics-as-args treatment the production
+    # runner uses (solver_dense.make_batch_runner_dense)
+    @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,) if donate else ())
+    def run(st, st3d, t0, n):
         def body(c, t):
-            f, rho, vel = step(c["f"], c["vel"], 0.03, t, statics3d)
+            f, rho, vel = step(c["f"], c["vel"], 0.03, t, st3d)
             return {"f": f, "rho": rho, "vel": vel}, None
 
         out, _ = jax.lax.scan(body, st, t0 + jnp.arange(n, dtype=jnp.int32))
         return out
 
-    return run
+    return lambda st, t0, n: run(st, statics3d, t0, n)
 
 
 def main():
@@ -117,13 +132,13 @@ def main():
         run = run_scan(step, st3d, st, args.n)
         t0 = time.perf_counter()
         st = run(st, np.int32(1), args.n)
-        jax.block_until_ready(st["rho"])
+        _sync(st)
         print(f"compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
         best = float("inf")
         for r in range(args.reps):
             t0 = time.perf_counter()
             st = run(st, np.int32(1 + (r + 1) * args.n), args.n)
-            jax.block_until_ready(st["rho"])
+            _sync(st)
             dt = (time.perf_counter() - t0) / args.n
             best = min(best, dt)
             print(f"  rep {r}: {dt*1e6:9.1f} us/step "
@@ -146,7 +161,7 @@ def main():
             st = init_patch_state(p, cfg.precision)
             run = run_scan(step, st3d, st, 3, donate=False)
             st = run(st, np.int32(1), 3)
-            jax.block_until_ready(st["rho"])
+            _sync(st)
             outs[which] = st
         X, Y, Z = p.interior
         worst = 0.0
@@ -167,7 +182,7 @@ def main():
         run = run_scan(step, st3d, st, args.n)
         t0 = time.perf_counter()
         st = run(st, np.int32(1), args.n)
-        jax.block_until_ready(st["rho"])
+        _sync(st)
         runners[which] = [run, st, time.perf_counter() - t0]
     dts = {m: [] for m in runners}
     for rep in range(args.reps):
@@ -175,7 +190,7 @@ def main():
             run, st, _c = r
             t0 = time.perf_counter()
             st = run(st, np.int32(args.n + 1), args.n)
-            jax.block_until_ready(st["rho"])
+            _sync(st)
             dts[which].append((time.perf_counter() - t0) / args.n)
             r[1] = st
     for which, r in runners.items():
