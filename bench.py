@@ -148,16 +148,18 @@ def _sweep():
     )
 
     rows = []
-    for res in (12, 25, 34):  # ~1.2M / ~11M / ~27M cells
-        # (the fused kernel chunks whole x-planes; planes beyond ~36 MiB
-        # of VMEM footprint — ~27M cells at this domain shape — would fall
-        # back to the XLA path whose (27, N) temporaries exceed HBM at
-        # these sizes.  2-D chunking is the planned lift for 100M+ cells.)
+    for res in (12, 25, 34, 45):  # ~1.6M / ~14M / ~37M / ~64M cells
+        # res 12/25/34 run the 1-D whole-x-plane kernel; res 45 (63.7M
+        # cells) exceeds its VMEM window and runs the 2-D (x,y)-chunked
+        # kernel — the reference's large-domain coverage (64M cells,
+        # reference: README.md:508).  domain_tile_snap grows the tunnel to
+        # TPU tile multiples so the boxes carry no dead lane padding
+        # (interior == padded; up to ~30% of the big boxes otherwise).
         tmp = tempfile.mkdtemp()
         make_case_sphere(
             tmp, "1M", surface_resolution=res, num_levels=1,
             steps=100, ramp_steps=50, output_freq=100000, diag_freq=100000,
-            precision="bfloat16",
+            precision="bfloat16", domain_tile_snap=True,
         )
         cfg = load_case_config(tmp)
         mesh = load_mesh(cfg.stl_path, scale=cfg.stl_scale)

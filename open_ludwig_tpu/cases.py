@@ -47,6 +47,12 @@ def _base_config(stl_file: str, **over) -> Dict:
             },
         },
         "advanced": {
+            "engine": {
+                # grow the coarse grid to TPU tile multiples (large
+                # single-level boxes; multi-level cases reclaim pad via the
+                # flat-(y,z) layout instead)
+                "domain_tile_snap": over.pop("domain_tile_snap", False),
+            },
             "numerics": {
                 "u_lattice": over.pop("u_lattice", 0.03),
                 "c_wale": over.pop("c_wale", 0.5),

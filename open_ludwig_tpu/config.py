@@ -109,9 +109,12 @@ class CaseConfig:
     # biases the pressure drag of streamlined bodies; see ops/forces.py)
     force_extrapolate: bool = False
     # "stress" (reference parity: nearest-cell stress sampling) or
-    # "momentum_exchange" (2 sum f_k c_k over Bouzidi links; the method the
-    # reference carries as dead code, src/forces/global.jl — required for
-    # streamlined-body drag, see ops/forces.py MEMContext)
+    # "momentum_exchange" (momentum-flux balance across the obstacle-mask
+    # fluid/solid interface; re-derived from the method the reference
+    # carries as dead code, src/forces/global.jl — required for
+    # streamlined-body drag, see ops/forces.py MEMContext and
+    # VALIDATION.md: wing Cd matches an independent control-volume
+    # balance to 1.9% where stress mapping has the wrong sign)
     force_method: str = "stress"
     moment_center: Tuple[float, float, float] = (0.25, 0.0, 0.0)
 
@@ -140,6 +143,14 @@ class CaseConfig:
                                       # runs (TPU), "on", "off".  Kills the
                                       # dead 128-lane z padding of small
                                       # transverse extents (core/patch.py)
+    domain_tile_snap: bool = False    # grow the coarse grid to TPU tile
+                                      # multiples (x,y -> 16, z -> 128):
+                                      # lane/sublane padding becomes real
+                                      # simulated fluid instead of dead
+                                      # compute (up to ~30% of a large box
+                                      # otherwise; see scaling.py).  Off by
+                                      # default: it changes domain extents,
+                                      # hence blockage/Cd very slightly
 
     @property
     def reference_area(self) -> float:
@@ -299,6 +310,9 @@ def parse_config(cfg: Dict, case_dir: str = "") -> CaseConfig:
         devices=int(_get(cfg, "advanced", "engine", "devices", default=1)),
         flat_coarse=str(
             _get(cfg, "advanced", "engine", "flat_coarse", default="auto")
+        ),
+        domain_tile_snap=bool(
+            _get(cfg, "advanced", "engine", "domain_tile_snap", default=False)
         ),
     )
 

@@ -160,20 +160,18 @@ def _use_flat_yz(cfg, patch: "PatchLevel", is_finest: bool) -> bool:
     pallas_ok = jax.default_backend() not in ("cpu",)
     if pallas_ok:
         from ..ops import storage as _st
-        from ..solver_dense import _pallas_fits  # lazy: import cycle
+        from ..ops.pallas_step import choose_flat_px  # lazy: import cycle
 
         store_bf16 = (
             _st.normalize_precision(getattr(cfg, "precision", "float32"))
             == _st.STORE_BF16
         )
         devices = max(1, int(getattr(cfg, "devices", 1)))
-        was_flat = patch.flat_yz
-        patch.flat_yz = True  # _pallas_fits sizes the flat window
         pallas_ok = (
-            _pallas_fits(patch, store_bf16)
-            and patch.padded[0] % devices == 0
+            patch.padded[0] % devices == 0
+            and choose_flat_px(patch.padded[0] // devices, patch.flat_m,
+                               2 if store_bf16 else 4) is not None
         )
-        patch.flat_yz = was_flat
     if not pallas_ok:
         if mode == "on":
             log.warning(

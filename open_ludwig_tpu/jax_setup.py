@@ -12,6 +12,18 @@ import os
 def setup_jax_cache(path: str = None) -> None:
     import jax
 
+    # honor JAX_PLATFORMS=cpu: on this platform the axon TPU plugin claims
+    # the default backend regardless of the env var (observed: devices()
+    # shows the tunnel TPU under JAX_PLATFORMS=cpu); the config update is
+    # what actually pins the backend.  Every entry point (runner, bench,
+    # tools) routes through here, so "prepend JAX_PLATFORMS=cpu" behaves
+    # as documented.
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     cache = path or os.environ.get(
         "OPEN_LUDWIG_JAX_CACHE", os.path.expanduser("~/.cache/open_ludwig_jax")
     )

@@ -381,19 +381,40 @@ def compute_aerodynamics(state: Dict, ctx: ForceContext) -> ForceResult:
 
 @dataclass
 class MEMContext:
-    """Momentum-exchange force evaluation over the Bouzidi link list.
+    """Momentum-exchange force evaluation across the fluid/solid interface.
 
-    The reference carries this method on disk but dead (reference:
-    src/forces/global.jl:15-148, excluded at src/forces.jl:58-60): per
-    boundary link (fluid cell x_f, direction k with wall fraction
-    0 < q <= 1), the momentum transferred to the wall per step is
-    2 f_k(x_f) c_k — the outgoing post-collision population plus its
-    bounce-back return.  The rebuild's own control-volume study proved the
+    The reference carries a momentum-exchange method on disk but dead
+    (reference: src/forces/global.jl:15-148, excluded at src/forces.jl:58-60)
+    that sums 2 f_k c_k over its Bouzidi ray-hit list.  That list cannot be
+    used directly here (nor could it in the reference): the SAT voxelizer is
+    conservative, so the obstacle mask extends past the true surface and the
+    ray-hit cells straddle the wall — 97% of them are obstacle-marked cells
+    whose populations are bounce-back ghost storage (measured on the sphere,
+    tools/mem_probe.py).  The engine's actual no-slip boundary is the
+    obstacle-mask interface, so the force on the body is the discrete
+    momentum-flux balance across that interface:
+
+        F_lat = sum over links (fluid x_f, direction j with x_f + c_j solid)
+                of [ f_j(x_f) + f_jbar(x_f + c_j) ] c_j
+
+    evaluated on the committed post-collision state: f_j(x_f) is the
+    outgoing population that will stream into the solid next sub-step, and
+    the solid neighbor's f_jbar slot holds exactly the reflected population
+    the fluid will pull back (whether plain bounce-back or the Bouzidi
+    correction produced it).  For halfway bounce-back this reduces to the
+    classic 2 f_j c_j.  The rebuild's own control-volume study proved the
     stress-mapping path CANNOT resolve streamlined-body drag (nearest-cell
     sampling lands on the wrong side of thin sections — see the module
-    docstring and VALIDATION.md), which is exactly the failure mode the
-    momentum-exchange method avoids: it needs no wall-normal sampling at
-    all.  Enabled via `advanced.forces.method: momentum_exchange`.
+    docstring and VALIDATION.md), which is the failure mode momentum
+    exchange avoids: no wall-normal sampling at all.  Enabled via
+    `advanced.forces.method: momentum_exchange`.
+
+    Numerics: the rest-state part of each population (the lattice weight w)
+    is subtracted before the device-side sums — it carries the uniform
+    rho0/3 pressure whose closed-surface integral is zero — and its exact
+    float64 flux (`rest_F`, ~1e-13 for closed bodies) is added back on the
+    host, so the reported force is free of large-term cancellation noise in
+    f32/bf16.
 
     Lattice->physical conversion: F_phys = F_lat * force_scale with
     force_scale = rho_phys dx^4/dt^2 (scaling.py, dx/dt at the finest
@@ -402,12 +423,16 @@ class MEMContext:
     further length_scale on a meter-valued arm, reference:
     src/forces/global.jl:126-130 — a unit bug we do not reproduce)."""
 
-    flat_idx: jnp.ndarray  # (n_links,) into f.reshape(-1) of the finest level
+    idx_out: jnp.ndarray  # (n_links,) flat f-index of the outgoing slot
+    idx_in: jnp.ndarray  # (n_links,) flat f-index of the reflected slot
     w_k: jnp.ndarray  # (n_links,) lattice weight of the link direction
     c: jnp.ndarray  # (3, n_links) f32 direction vectors
-    r: jnp.ndarray  # (3, n_links) meters, cell center - moment center
-    tri: jnp.ndarray  # (n_links,) nearest-triangle id, -1 = none
+    r: jnp.ndarray  # (3, n_links) meters, link midpoint - moment center
+    tri: jnp.ndarray  # (n_links,) nearest-triangle id
     n_tri: int
+    rest_F: np.ndarray  # (3,) f64 lattice flux of the rest state (~0)
+    rest_F_tri: np.ndarray  # (3, n_tri) f64 per-triangle rest flux
+    rest_M: np.ndarray  # (3,) f64 rest-state moment contribution
     force_scale: float
     q_inf: float
     area_ref: float
@@ -415,39 +440,103 @@ class MEMContext:
     symmetric: bool
     g_storage: bool  # f arrays hold g = f - w (bf16 storage)
 
+    @property
+    def n_links(self) -> int:
+        return int(self.idx_out.shape[0])
 
-def make_mem_context(patch, params: DomainParams, n_tri: int,
+
+def make_mem_context(patch, params: DomainParams, mesh: TriMesh,
                      g_storage: bool) -> Optional["MEMContext"]:
-    """Link list from the finest level's Bouzidi data (reference's sparse
-    q_map/cell lists, src/forces/global.jl:44-54, re-shaped as one flat
-    gather: TPU-native segment sums instead of atomics)."""
-    bz = patch.bouzidi
-    if bz is None or bz.n_boundary_cells == 0:
-        return None
-    q = bz.q_map.astype(np.float32)  # (nc, 27)
-    cell, k = np.nonzero((q > 0.0) & (q <= 1.0))
-    if len(cell) == 0:
-        return None
-    XS, YS, ZS = patch.padded
-    gx = bz.cell_gx[cell].astype(np.int64)
-    gy = bz.cell_gy[cell].astype(np.int64)
-    gz = bz.cell_gz[cell].astype(np.int64)
-    flat = k.astype(np.int64) * (XS * YS * ZS) + (gx * YS + gy) * ZS + gz
+    """Enumerate fluid->solid interface links from the obstacle mask (one
+    shifted-window pass per lattice direction) and attribute each link to
+    its nearest STL triangle for the per-triangle surface force map.  Setup
+    runs once in numpy; the runtime evaluation is two flat gathers plus
+    segment sums (reference's atomics at src/forces/global.jl:105-141
+    become TPU-native reductions)."""
     from .. import lattice as lat
 
-    c = np.stack([lat.C_X[k], lat.C_Y[k], lat.C_Z[k]]).astype(np.float32)
-    # physical cell centers (patch-local -> domain coords via patch.lo)
+    X, Y, Z = patch.interior
+    obs_i = np.asarray(patch.obstacle)[:X, :Y, :Z]
+    if not obs_i.any():
+        return None
+    # obstacle extended by a False ring: neighbors outside the interior
+    # (domain faces, patch padding) never count as wall
+    obs_ext = np.zeros((X + 2, Y + 2, Z + 2), bool)
+    obs_ext[1:-1, 1:-1, 1:-1] = obs_i
+    fluid = ~obs_i
+    # restrict the scan to the obstacle bounding box + 1-cell shell
+    bidx = np.argwhere(obs_i)
+    lo_b = np.maximum(bidx.min(0) - 1, 0)
+    hi_b = np.minimum(bidx.max(0) + 2, [X, Y, Z])
+    sl = tuple(slice(l, h) for l, h in zip(lo_b, hi_b))
+    fl_sub = fluid[sl]
+
+    gx_l, gy_l, gz_l, k_l = [], [], [], []
+    for k in range(27):
+        cx, cy, cz = int(lat.C_X[k]), int(lat.C_Y[k]), int(lat.C_Z[k])
+        if cx == 0 and cy == 0 and cz == 0:
+            continue
+        nb = obs_ext[
+            1 + cx + lo_b[0]: 1 + cx + hi_b[0],
+            1 + cy + lo_b[1]: 1 + cy + hi_b[1],
+            1 + cz + lo_b[2]: 1 + cz + hi_b[2],
+        ]
+        xs, ys, zs = np.nonzero(fl_sub & nb)
+        if len(xs) == 0:
+            continue
+        gx_l.append(xs + lo_b[0])
+        gy_l.append(ys + lo_b[1])
+        gz_l.append(zs + lo_b[2])
+        k_l.append(np.full(len(xs), k, np.int32))
+    if not gx_l:
+        return None
+    gx = np.concatenate(gx_l).astype(np.int64)
+    gy = np.concatenate(gy_l).astype(np.int64)
+    gz = np.concatenate(gz_l).astype(np.int64)
+    k = np.concatenate(k_l)
+
+    XS, YS, ZS = patch.padded
+    N = XS * YS * ZS
+    cell = (gx * YS + gy) * ZS + gz
+    ncell = ((gx + lat.C_X[k]) * YS + (gy + lat.C_Y[k])) * ZS \
+        + (gz + lat.C_Z[k])
+    idx_out = k.astype(np.int64) * N + cell
+    idx_in = lat.OPP[k].astype(np.int64) * N + ncell
+
+    c = np.stack([lat.C_X[k], lat.C_Y[k], lat.C_Z[k]]).astype(np.float64)
+    # link midpoints (where the wall crossing sits) in meters, domain frame
     lo = np.asarray(patch.lo, np.float64)
-    cent = (np.stack([gx, gy, gz]).astype(np.float64)
-            + lo[:, None] + 0.5) * patch.dx
-    r = (cent - np.asarray(params.moment_center, np.float64)[:, None])
+    mid = (np.stack([gx, gy, gz]).astype(np.float64)
+           + lo[:, None] + 0.5 + 0.5 * c) * patch.dx
+    r = mid - np.asarray(params.moment_center, np.float64)[:, None]
+
+    # nearest-triangle attribution of the link midpoint
+    from scipy.spatial import cKDTree
+
+    cent_dom = mesh.centers + np.asarray(params.mesh_offset)[None, :]
+    tri_id = cKDTree(cent_dom).query(mid.T, workers=-1)[1].astype(np.int32)
+    n_tri = int(mesh.n_triangles)
+
+    # exact rest-state flux (2 w_j c_j per link) in float64; ~0 for closed
+    # bodies — kept so the reported force is exactly the full-f balance
+    w = lat.W[k].astype(np.float64)
+    rest_dF = 2.0 * w[None, :] * c
+    rest_F = rest_dF.sum(axis=1)
+    rest_M = np.cross(r.T, rest_dF.T).sum(axis=0)
+    rest_F_tri = np.zeros((3, n_tri))
+    np.add.at(rest_F_tri.T, tri_id, rest_dF.T)
+
     return MEMContext(
-        flat_idx=jnp.asarray(flat.astype(np.int32)),
-        w_k=jnp.asarray(lat.W[k].astype(np.float32)),
-        c=jnp.asarray(c),
+        idx_out=jnp.asarray(idx_out.astype(np.int32)),
+        idx_in=jnp.asarray(idx_in.astype(np.int32)),
+        w_k=jnp.asarray(w.astype(np.float32)),
+        c=jnp.asarray(c.astype(np.float32)),
         r=jnp.asarray(r.astype(np.float32)),
-        tri=jnp.asarray(bz.tri_map[cell, k]),
-        n_tri=int(n_tri),
+        tri=jnp.asarray(tri_id),
+        n_tri=n_tri,
+        rest_F=rest_F,
+        rest_F_tri=rest_F_tri,
+        rest_M=rest_M,
         force_scale=float(params.force_scale),
         q_inf=float(0.5 * params.rho_physical * params.u_physical**2),
         area_ref=float(params.reference_area),
@@ -457,21 +546,21 @@ def make_mem_context(patch, params: DomainParams, n_tri: int,
     )
 
 
-@partial(jax.jit, static_argnums=(5, 6))
-def _mem_sums(f_flat, flat_idx, w_k, c, r, g_storage, n_tri, tri):
-    val = f_flat[flat_idx].astype(jnp.float32)
-    if g_storage:
-        val = val + w_k
-    kick = 2.0 * val  # lattice momentum to the wall per step
+@partial(jax.jit, static_argnums=(6, 7))
+def _mem_sums(f_flat, idx_out, idx_in, w_k, c, r, g_storage, n_tri, tri):
+    vo = f_flat[idx_out].astype(jnp.float32)
+    vi = f_flat[idx_in].astype(jnp.float32)
+    if not g_storage:  # f32 storage holds full f; work in deviations g
+        vo = vo - w_k
+        vi = vi - w_k
+    kick = vo + vi  # deviation part of the momentum to the wall per step
     dF = kick[None, :] * c  # (3, n_links)
     F = jnp.sum(dF, axis=1)
     M = jnp.sum(jnp.cross(r.T, dF.T).T, axis=1)
-    # per-triangle attribution via the Bouzidi nearest-triangle map (links
-    # without a triangle still count toward the totals above)
-    seg = jnp.where(tri >= 0, tri, n_tri)
+    # per-triangle attribution (nearest triangle to the link midpoint)
     F_tri = jax.vmap(
-        lambda row: jax.ops.segment_sum(row, seg, num_segments=n_tri + 1)
-    )(dF)[:, :n_tri]
+        lambda row: jax.ops.segment_sum(row, tri, num_segments=n_tri)
+    )(dF)
     return F, M, F_tri
 
 
@@ -485,11 +574,11 @@ def compute_aerodynamics_mem(
     decomposition (totals go in Fx etc.; the *_pressure/_viscous split
     retains the stress-mapping estimate when available, else total/zero)."""
     F_lat, M_lat, F_tri = _mem_sums(
-        state["f"].reshape(-1), ctx.flat_idx, ctx.w_k, ctx.c, ctx.r,
-        ctx.g_storage, ctx.n_tri, ctx.tri,
+        state["f"].reshape(-1), ctx.idx_out, ctx.idx_in, ctx.w_k, ctx.c,
+        ctx.r, ctx.g_storage, ctx.n_tri, ctx.tri,
     )
-    F = np.asarray(F_lat, np.float64) * ctx.force_scale
-    M = np.asarray(M_lat, np.float64) * ctx.force_scale
+    F = (np.asarray(F_lat, np.float64) + ctx.rest_F) * ctx.force_scale
+    M = (np.asarray(M_lat, np.float64) + ctx.rest_M) * ctx.force_scale
     if ctx.symmetric:
         F = np.array([2 * F[0], 0.0, 2 * F[2]])
         M = np.array([0.0, 2 * M[1], 0.0])
@@ -505,7 +594,9 @@ def compute_aerodynamics_mem(
         pressure_map=base.pressure_map if base else None,
         shear_map=base.shear_map if base else None,
     )
-    res.force_map = np.asarray(F_tri) * ctx.force_scale  # (3, n_tri) N
+    res.force_map = (
+        np.asarray(F_tri, np.float64) + ctx.rest_F_tri
+    ) * ctx.force_scale  # (3, n_tri) N
     F_ref = ctx.q_inf * ctx.area_ref
     M_ref = F_ref * ctx.chord_ref
     if F_ref > 1e-10:

@@ -961,8 +961,11 @@ def choose_2d_chunks(
     """(PX, PY) chunk dims for make_pallas_step_2d, or None if no choice
     fits the per-chunk VMEM budget.  Prefers large PX (amortizes per-chunk
     dispatch/vector-op overheads; the x-halo rides the already-resident
-    neighbor chunks), then large PY (the y-halo row DMAs are a 2/PY read
-    amplification)."""
+    neighbor chunks), then large PY (fewer chunks, fewer sublane-axis
+    halo concats).  Budget 64 MiB of the ~128 MiB VMEM: measured A/B at a
+    63.7M-cell padding-free box, (16, 16) = 2265 MLUPS vs (16, 8) = 2195
+    (+3.2%), both Mosaic-lowerable; the old 36 MiB budget forced PY=8
+    (NOTES_ROUND4_PERF.md)."""
     XS, YS, ZS = patch.padded
     if patch.flat_yz or BC_INTERFACE in patch.face_bc or XS % shard_nx:
         return None
@@ -974,7 +977,7 @@ def choose_2d_chunks(
         for PY in py_c:
             if YS % PY:
                 continue
-            if _chunks_2d_vmem_est(PX, PY, ZS, fbytes) < 36 * 2**20:
+            if _chunks_2d_vmem_est(PX, PY, ZS, fbytes) < 64 * 2**20:
                 return PX, PY
     return None
 
@@ -1402,6 +1405,27 @@ def make_pallas_step_2d(
     return step
 
 
+def choose_flat_px(XL: int, M: int, f_bytes: int):
+    """Valid PX for make_pallas_step_flat, or None if the flat layout cannot
+    run on this shape.  Mosaic requires the sublane block dim to be a
+    multiple of 8 (or the whole array dim), so only 16 and 8 are candidates
+    — round 3's auto-try list included 4 and 2, which lower ONLY when
+    XL == PX and crash otherwise (hit by a 112-x f32 level at M=11520).
+    Shared by the kernel, the solver's availability guard, and the patch
+    builder's flat_yz gate so all three agree on what can run."""
+    per = (_SLOTS * (27 * f_bytes + 12) + 2 * 9 + 2 * (27 * f_bytes + 16)) * M
+    for cand in (16, 8):
+        if XL % cand == 0 and cand * per < 36 * 2**20:
+            return cand
+    # nothing under the perf budget: PX=8 still lowers while the footprint
+    # stays under the hard VMEM ceiling (~128 MiB, keep headroom)
+    if XL % 8 == 0 and 8 * per < 100 * 2**20:
+        return 8
+    if XL % 16 == 0 and 16 * per < 100 * 2**20:
+        return 16
+    return None
+
+
 def make_pallas_step_flat(
     patch: PatchLevel,
     *,
@@ -1454,22 +1478,18 @@ def make_pallas_step_flat(
     elif PX_OVERRIDE.get(patch.level_id):
         PX = PX_OVERRIDE[patch.level_id]
     else:
-        PX = 1
         # flat levels favor LARGER chunks than the 3-D kernel's (8, 4, 2):
         # the Re1M bench coarse level measured 1473 -> 1304 us/coarse going
         # PX 8 -> 16 (interleaved A/B, tools/probe_coarse --px "1:8;1:16")
         # — per-chunk DMA/dispatch overhead dominates at M-wide flat planes
-        for cand in (16, 8, 4, 2):
-            plane_c = cand * M
-            est_c = (
-                _SLOTS * (27 * f_bytes + 3 * 4) * plane_c
-                + 2 * 9 * plane_c
-                + 2 * (27 * f_bytes + 4 + 3 * 4) * plane_c
-            )
-            if XL % cand == 0 and est_c < 36 * 2**20:
-                PX = cand
-                break
+        PX = choose_flat_px(XL, M, f_bytes)
+        assert PX is not None, (
+            "flat layout unavailable at this shape — the builder's flat_yz "
+            "gate (core.patch._use_flat_yz) should have declined it")
     assert XL % PX == 0, (XL, PX)
+    # Mosaic sublane-block validity: PX is the second-to-last block dim of
+    # the rank-2 (XS, M) refs
+    assert PX % 8 == 0 or PX == XL, (PX, XL)
     NCH = XL // PX
 
     def kernel(u_ref, seed_ref, *pre_rest):

@@ -155,19 +155,19 @@ def solve_case(cfg: CaseConfig) -> SolveResult:
             from .ops.storage import STORE_BF16, normalize_precision
 
             mem_ctx = make_mem_context(
-                levels[-1], params, mesh.n_triangles,
+                levels[-1], params, mesh,
                 g_storage=normalize_precision(cfg.precision) == STORE_BF16,
             )
         if mem_ctx is None:
             log.warning(
-                "[Forces] method=momentum_exchange needs Bouzidi links on "
+                "[Forces] method=momentum_exchange needs obstacle cells on "
                 "the finest level of the patch layout; falling back to "
                 "stress mapping"
             )
         else:
             log.info(
-                "[Forces] momentum-exchange integration over %d Bouzidi "
-                "links", int(mem_ctx.flat_idx.shape[0]),
+                "[Forces] momentum-exchange integration over %d "
+                "fluid/solid interface links", mem_ctx.n_links,
             )
 
     def _forces(st: List[Dict]):

@@ -138,6 +138,18 @@ def compute_domain_params(
     nx_coarse = _round_blocks(domain_x)
     ny_coarse = _round_blocks(domain_y)
     nz_coarse = _round_blocks(domain_z)
+    if cfg.domain_tile_snap:
+        # grow the coarse grid to TPU tile multiples so the dense-patch
+        # state arrays carry no dead lane/sublane padding: z is the 128-lane
+        # axis, y the 8-sublane axis (16 also admits the 2-D kernel's
+        # PY=16 chunks), x the kernel chunk axis.  The extra cells are REAL
+        # simulated fluid (a slightly roomier tunnel), not masked junk —
+        # the TPU-native analogue of the reference picking GPU-friendly
+        # 400^3 boxes for its perf table (reference: README.md:506-509)
+        _snap = lambda n, t: int(math.ceil(n / t) * t)  # noqa: E731
+        nx_coarse = _snap(nx_coarse, 16)
+        ny_coarse = _snap(ny_coarse, 16)
+        nz_coarse = _snap(nz_coarse, 128)
     domain_x, domain_y, domain_z = (
         nx_coarse * dx_coarse,
         ny_coarse * dx_coarse,

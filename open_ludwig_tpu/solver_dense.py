@@ -32,6 +32,7 @@ from .ops.dense_step import (
 from .ops import storage
 from .ops.pallas_step import (
     choose_2d_chunks,
+    choose_flat_px,
     make_bouzidi_pallas,
     make_pallas_step,
     make_pallas_step_2d,
@@ -224,8 +225,9 @@ def make_coarse_step_dense(
     psteps = []
     for li, p in enumerate(patches):
         if p.flat_yz and not (
-            use_pallas and _pallas_fits(p, store_bf16)
-            and p.padded[0] % shard_nx == 0
+            use_pallas and p.padded[0] % shard_nx == 0
+            and choose_flat_px(p.padded[0] // shard_nx, p.flat_m,
+                               2 if store_bf16 else 4) is not None
         ):
             raise RuntimeError(
                 f"level {p.level_id} stores flat-(y,z) but the Pallas step "

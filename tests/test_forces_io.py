@@ -311,10 +311,12 @@ def test_pressure_extrapolation_improves_wall_sampling(tmp_path):
 
 def test_momentum_exchange_matches_numpy_reference(tmp_path, rng):
     """Momentum-exchange integration (advanced.forces.method:
-    momentum_exchange; the method the reference carries as dead code at
-    src/forces/global.jl:15-148): the jitted gather/segment-sum pipeline
-    must equal a direct numpy loop over the Bouzidi link list — per-link
-    2 f_k c_k, moments about the moment center, per-triangle attribution."""
+    momentum_exchange; re-derived from the dead method at reference
+    src/forces/global.jl:15-148 as a flux balance across the obstacle-mask
+    interface, see MEMContext): the jitted gather/segment-sum pipeline must
+    equal a direct numpy loop over the fluid/solid links — per link
+    (f_j(x_f) + f_jbar(x_f + c_j)) c_j, moments about the moment center at
+    the link midpoint, nearest-triangle attribution."""
     import jax.numpy as jnp
 
     from open_ludwig_tpu import lattice as lat
@@ -336,40 +338,57 @@ def test_momentum_exchange_matches_numpy_reference(tmp_path, rng):
     tri = load_mesh(cfg.stl_path, scale=cfg.stl_scale)
     params = compute_domain_params(cfg, tri.min_bounds, tri.max_bounds)
     patch = build_patches(cfg, tri, params)[-1]
-    assert patch.bouzidi is not None and patch.bouzidi.n_boundary_cells > 0
 
-    ctx = make_mem_context(patch, params, tri.n_triangles, g_storage=True)
+    ctx = make_mem_context(patch, params, tri, g_storage=True)
     assert ctx is not None
-    n_links = int(ctx.flat_idx.shape[0])
-    assert n_links > 100
+    assert ctx.n_links > 100
+    # a closed body's rest-state flux must vanish (uniform-pressure closure)
+    assert np.abs(ctx.rest_F).max() < 1e-9
 
     XS, YS, ZS = patch.padded
     f = (0.01 * rng.standard_normal((27, XS, YS, ZS))).astype(np.float32)
     res = compute_aerodynamics_mem({"f": jnp.asarray(f)}, ctx)
 
-    # --- numpy reference straight from the Bouzidi data ---
-    bz = patch.bouzidi
-    q = bz.q_map.astype(np.float64)
+    # --- numpy reference straight from the obstacle mask ---
+    X, Y, Z = patch.interior
+    obs = np.asarray(patch.obstacle)[:X, :Y, :Z]
     F = np.zeros(3)
     M = np.zeros(3)
     F_tri = np.zeros((3, tri.n_triangles))
     mc = np.asarray(params.moment_center, np.float64)
     lo = np.asarray(patch.lo, np.float64)
-    for i in range(bz.n_boundary_cells):
-        gx, gy, gz = int(bz.cell_gx[i]), int(bz.cell_gy[i]), int(bz.cell_gz[i])
-        cent = (np.array([gx, gy, gz], np.float64) + lo + 0.5) * patch.dx
-        for k in range(27):
-            if not (0.0 < q[i, k] <= 1.0):
-                continue
-            c = np.array([lat.C_X[k], lat.C_Y[k], lat.C_Z[k]], np.float64)
-            # g-storage: stored value + w_k = f_k
-            val = np.float64(f[k, gx, gy, gz]) + lat.W[k]
-            dF = 2.0 * val * c
-            F += dF
-            M += np.cross(cent - mc, dF)
-            t = int(bz.tri_map[i, k])
-            if t >= 0:
-                F_tri[:, t] += dF
+    from scipy.spatial import cKDTree
+
+    kd = cKDTree(tri.centers + np.asarray(params.mesh_offset)[None, :])
+    bidx = np.argwhere(obs)
+    lo_b = np.maximum(bidx.min(0) - 1, 0)
+    hi_b = np.minimum(bidx.max(0) + 2, [X, Y, Z])
+    for gx in range(lo_b[0], hi_b[0]):
+        for gy in range(lo_b[1], hi_b[1]):
+            for gz in range(lo_b[2], hi_b[2]):
+                if obs[gx, gy, gz]:
+                    continue
+                for k in range(27):
+                    cx, cy, cz = int(lat.C_X[k]), int(lat.C_Y[k]), int(lat.C_Z[k])
+                    if cx == cy == cz == 0:
+                        continue
+                    nx, ny, nz = gx + cx, gy + cy, gz + cz
+                    if not (0 <= nx < X and 0 <= ny < Y and 0 <= nz < Z):
+                        continue
+                    if not obs[nx, ny, nz]:
+                        continue
+                    c = np.array([cx, cy, cz], np.float64)
+                    w = float(lat.W[k])
+                    # g-storage: stored value + w = f
+                    f_out = np.float64(f[k, gx, gy, gz]) + w
+                    f_in = np.float64(f[int(lat.OPP[k]), nx, ny, nz]) + w
+                    dF = (f_out + f_in) * c
+                    F += dF
+                    mid = (np.array([gx, gy, gz], np.float64) + lo + 0.5
+                           + 0.5 * c) * patch.dx
+                    M += np.cross(mid - mc, dF)
+                    t = int(kd.query(mid)[1])
+                    F_tri[:, t] += dF
     F *= params.force_scale
     M *= params.force_scale
     F_tri *= params.force_scale

@@ -40,6 +40,43 @@ def build_patch(res, precision):
     return cfg, levels[0]
 
 
+def build_box(dims, precision):
+    """Synthetic dense box with the bench tunnel's BC set and a small
+    obstacle: decouples chunk-shape sweeps from the sphere cases' awkward
+    padded extents (their YS is often 8 mod 16, which only admits PY=8)."""
+    import numpy as np
+
+    from open_ludwig_tpu.core.patch import (
+        BC_INLET, BC_MIRROR_Y, BC_MIRROR_Z, BC_OUTLET, PatchLevel,
+    )
+
+    X, Y, Z = dims
+    XS, YS, ZS = X, -(-Y // 8) * 8, -(-Z // 128) * 128
+    p = PatchLevel(
+        1, 0.1, 0.52, (0, 0, 0), (X, Y, Z), (XS, YS, ZS),
+        (BC_INLET, BC_OUTLET, BC_MIRROR_Y, BC_MIRROR_Y,
+         BC_MIRROR_Z, BC_MIRROR_Z),
+        np.zeros((XS, YS, ZS), bool),
+        np.zeros((XS, YS, ZS), np.float32),
+        np.full((XS, YS, ZS), 100.0, np.float32),
+    )
+    cx, cy, cz = X // 3, Y // 2, Z // 2
+    r = max(2, Y // 16)
+    p.obstacle[cx - r:cx + r, cy - r:cy + r, cz - r:cz + r] = True
+
+    class Knobs:
+        c_wale = 0.5
+        nu_sgs_background = 5e-4
+        inlet_turbulence_intensity = 0.01
+        wall_model_enabled = True
+        sponge_blend_distributions = True
+        pass
+
+    k = Knobs()
+    k.precision = precision
+    return k, p
+
+
 def make_steps(cfg, p, which, interpret, chunk_dims=None):
     from open_ludwig_tpu.ops.pallas_step import (
         make_pallas_step, make_pallas_step_2d,
@@ -108,6 +145,10 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--px", type=int, default=0)
     ap.add_argument("--py", type=int, default=0)
+    ap.add_argument("--chunks", type=str, default="",
+                    help="--big multi-config interleaved sweep: '16x8,16x16'")
+    ap.add_argument("--box", type=str, default="",
+                    help="synthetic box 'X,Y,Z' instead of a sphere case")
     ap.add_argument("--precision", type=str, default="bfloat16")
     ap.add_argument("--interpret", action="store_true", default=None)
     args = ap.parse_args()
@@ -119,31 +160,51 @@ def main():
     from open_ludwig_tpu.solver_dense import init_patch_state
     from open_ludwig_tpu.ops.pallas_step import prepare_pallas_statics
 
-    if args.big:
-        cfg, p = build_patch(args.big, args.precision)
-        cd = choose_2d_chunks(p, cfg.precision == "bfloat16")
-        if args.px and args.py:
-            cd = (args.px, args.py)
-        print(f"box {p.padded} = {p.n_cells/1e6:.1f}M cells, chunks {cd}",
+    if args.big or args.box:
+        if args.box:
+            cfg, p = build_box(
+                tuple(int(v) for v in args.box.split(",")), args.precision)
+        else:
+            cfg, p = build_patch(args.big, args.precision)
+        if args.chunks:
+            cds = [tuple(int(v) for v in c.split("x"))
+                   for c in args.chunks.split(",")]
+        elif args.px and args.py:
+            cds = [(args.px, args.py)]
+        else:
+            cds = [choose_2d_chunks(p, cfg.precision == "bfloat16")]
+        print(f"box {p.padded} = {p.n_cells/1e6:.1f}M cells, chunks {cds}",
               flush=True)
-        step = make_steps(cfg, p, "2d", args.interpret, chunk_dims=cd)
         st3d = prepare_pallas_statics(p)
-        st = init_patch_state(p, cfg.precision)
-        run = run_scan(step, st3d, st, args.n)
-        t0 = time.perf_counter()
-        st = run(st, np.int32(1), args.n)
-        _sync(st)
-        print(f"compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
-        best = float("inf")
-        for r in range(args.reps):
+        # interleaved multi-config: every config donates its state (the
+        # returned state chains into its next window) — at 64M cells two
+        # non-donated states OOM the chip
+        runners = {}
+        for cd in cds:
+            step = make_steps(cfg, p, "2d", args.interpret, chunk_dims=cd)
+            st = init_patch_state(p, cfg.precision)
+            run = run_scan(step, st3d, st, args.n)
             t0 = time.perf_counter()
-            st = run(st, np.int32(1 + (r + 1) * args.n), args.n)
+            st = run(st, np.int32(1), args.n)
             _sync(st)
-            dt = (time.perf_counter() - t0) / args.n
-            best = min(best, dt)
-            print(f"  rep {r}: {dt*1e6:9.1f} us/step "
-                  f"({p.n_cells/dt/1e6:7.0f} MLUPS)", flush=True)
-        print(f"best: {p.n_cells/best/1e6:.0f} MLUPS", flush=True)
+            print(f"  {cd}: compile+first {time.perf_counter()-t0:.1f}s",
+                  flush=True)
+            runners[cd] = [run, st]
+        dts = {cd: [] for cd in cds}
+        for r in range(args.reps):
+            for cd, rr in runners.items():
+                run, st = rr
+                t0 = time.perf_counter()
+                st = run(st, np.int32(1 + (r + 1) * args.n), args.n)
+                _sync(st)
+                dt = (time.perf_counter() - t0) / args.n
+                dts[cd].append(dt)
+                print(f"  rep {r} {cd}: {dt*1e6:9.1f} us/step "
+                      f"({p.n_cells/dt/1e6:7.0f} MLUPS)", flush=True)
+                rr[1] = st
+        for cd in cds:
+            best = min(dts[cd])
+            print(f"best {cd}: {p.n_cells/best/1e6:.0f} MLUPS", flush=True)
         return
 
     cfg, p = build_patch(args.res, args.precision)

@@ -12,7 +12,9 @@ from open_ludwig_tpu.geometry import load_mesh
 from open_ludwig_tpu.scaling import compute_domain_params
 from open_ludwig_tpu.solver_dense import (
     build_patch_statics, init_patch_state, make_batch_runner_dense)
-from open_ludwig_tpu.ops.forces import compute_aerodynamics, make_force_context_dense
+from open_ludwig_tpu.ops.forces import (
+    compute_aerodynamics, compute_aerodynamics_mem, make_force_context_dense,
+    make_mem_context)
 from open_ludwig_tpu.ops import storage
 
 name = sys.argv[1] if len(sys.argv) > 1 else "wing_5deg"
@@ -49,6 +51,19 @@ jax.block_until_ready(states[0]["rho"])
 fctx = make_force_context_dense(tri, patches[-1], params)
 fr = compute_aerodynamics(states[-1], fctx)
 print(f"[mapping] Cd={fr.Cd:+.4f} Cl={fr.Cl:+.4f} Fx={fr.Fx:+.3e} Fz={fr.Fz:+.3e}")
+
+# momentum-exchange forces across the fluid/solid interface (the method
+# the CV study motivated: no wall-normal sampling at all)
+mctx = make_mem_context(patches[-1], params, tri,
+                        g_storage=storage.normalize_precision(c.precision)
+                        == storage.STORE_BF16)
+if mctx is not None:
+    fm = compute_aerodynamics_mem(states[-1], mctx)
+    print(f"[mom-ex ] Cd={fm.Cd:+.4f} Cl={fm.Cl:+.4f} "
+          f"Fx={fm.Fx:+.3e} Fz={fm.Fz:+.3e} "
+          f"({mctx.n_links} links)")
+else:
+    print("[mom-ex ] no obstacle cells on the finest level")
 
 # control-volume momentum balance on the finest level
 p = patches[-1]
