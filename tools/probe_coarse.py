@@ -34,6 +34,11 @@ def main():
                     help="PX_OVERRIDE variants, ';'-separated, each "
                     "lvl:px,... (e.g. '1:8;1:16;1:32') — every variant "
                     "becomes an interleaved A/B mode")
+    ap.add_argument("--scoped", type=str, default="",
+                    help="xla_tpu_scoped_vmem_limit_kib variants, "
+                    "';'-separated KiB values ('0' = compiler default); "
+                    "steers how much VMEM the MSA pass may pin carries "
+                    "into (e.g. '0;98304')")
     args = ap.parse_args()
 
     import jax
@@ -87,13 +92,25 @@ def main():
     # and the per-mode min is the uncontended time.
     from open_ludwig_tpu.ops.pallas_step import PX_OVERRIDE
 
+    scoped_variants = [None]
+    if args.scoped:
+        scoped_variants = [
+            None if v.strip() == "0" else int(v)
+            for v in args.scoped.split(";")
+        ]
+
     runners = {}
     for pxv in px_variants:
         if pxv is not None:
             PX_OVERRIDE.clear()
             PX_OVERRIDE.update(pxv)
-        for mode in args.iface.split(","):
-          for bzm in args.bz.split(","):
+        for scoped in scoped_variants:
+          copts = (
+              {"xla_tpu_scoped_vmem_limit_kib": scoped}
+              if scoped is not None else None
+          )
+          for mode in args.iface.split(","):
+           for bzm in args.bz.split(","):
             coarse = make_coarse_step_dense(
                 cfg, params, levels, statics, _iface_mode=mode,
                 _bz_fold=bzm == "fold",
@@ -101,7 +118,8 @@ def main():
             # AFTER make_coarse_step_dense: it may add bz_S_pad (fold)
             arrs = statics_arg_arrays(statics)
 
-            @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+            @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,),
+                     compiler_options=copts)
             def run(states, arrs_, t0, n, _co=coarse):
                 def body(c, t):
                     return _co(list(c), t, arrs_), None
@@ -120,6 +138,8 @@ def main():
             key = mode if args.bz == "fold" else f"{mode}/{bzm}"
             if pxv is not None:
                 key += " px=" + ",".join(f"{k}:{v}" for k, v in pxv.items())
+            if scoped is not None:
+                key += f" scoped={scoped}k"
             runners[key] = (run, states, compile_s, arrs)
 
     dts = {m: [] for m in runners}

@@ -44,7 +44,9 @@ def main():
     if "r3" in which:
         run_regime("10M", tag="_r3", steps=24000)
         forces = "/tmp/val_10M_r3/RESULTS/forces.csv"
-        for last in range(12000, 24001, 2000):
+        # start at 14000: r3 is a deterministic replay of r1's trajectory,
+        # so its 12000-step window IS r1's sample (verified bit-identical)
+        for last in range(14000, 24001, 2000):
             cd, sd, cl, n = window_stats(forces, last)
             samples.append((f"r3@{last}", cd, sd))
             print(f"[WINDOW r3@{last}] Cd = {cd:.4f} +- {sd:.4f} "

@@ -64,8 +64,11 @@ def make_case(regime: str, out_dir: str, **extra) -> str:
 
 
 def window_stats(forces_csv: str, last_step: int, window: int = WINDOW):
+    # bounded on BOTH sides so offset windows into a longer run (re10m_ci
+    # r3) measure the window they name, not everything after it
     rows = list(csv.DictReader(open(forces_csv)))
-    w = [r for r in rows if int(r["Step"]) > last_step - window]
+    w = [r for r in rows
+         if last_step - window < int(r["Step"]) <= last_step]
     cds = [float(r["Cd"]) for r in w]
     cls = [float(r["Cl"]) for r in w]
     return (st.mean(cds), st.stdev(cds) if len(cds) > 1 else 0.0,
