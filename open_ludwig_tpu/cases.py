@@ -92,6 +92,10 @@ def _base_config(stl_file: str, **over) -> Dict:
                 "moment_center": [0.25, 0.0, 0.0],
             },
             "diagnostics": {"freq": over.pop("diag_freq", 200)},
+            "checkpoint": {
+                "freq": over.pop("checkpoint_freq", 0),
+                "resume": over.pop("checkpoint_resume", False),
+            },
         },
     }
     for key, val in over.items():

@@ -941,22 +941,610 @@ def make_pallas_step(
     return step
 
 
-def _chunks_2d_vmem_est(PX, PY, ZS, f_bytes):
+def _fused2_vmem_est(PX, YS, ZS, f_bytes, has_bz=False, bz_dim=None,
+                     coef_bytes=2):
+    """Per-chunk VMEM footprint of make_pallas_step_fused2: input windows +
+    the intermediate ring (both _SLOTS deep) + two static windows + out
+    blocks + the Bouzidi fold scratch."""
+    plane = PX * YS * ZS
+    est = (
+        2 * _SLOTS * (27 * f_bytes + 3 * 4) * plane  # fwin/vwin + ringf/ringv
+        + 2 * 2 * 9 * plane  # statics: two (A/B) pipelined windows
+        + 2 * (27 * f_bytes + 4 + 3 * 4) * plane  # out: f + rho + vel
+    )
+    if has_bz:
+        bxy = bz_dim[1] * bz_dim[2]
+        est += 2 * 27 * bxy * f_bytes + 2 * 27 * PX * bxy * coef_bytes
+    return est
+
+
+def make_pallas_step_fused2(
+    patch: PatchLevel,
+    *,
+    c_wale: float,
+    nu_sgs_background: float,
+    inlet_turbulence: float,
+    wall_model: bool,
+    sponge_blend: bool,
+    interpret: bool = False,
+    planes_per_step: int = 0,
+    store_bf16: bool = False,
+    alias_f: bool = False,
+    bz_plan: Optional[Dict] = None,
+    iface_pair: bool = False,
+):
+    """TWO consecutive sub-steps of a CHILDLESS level fused into ONE kernel
+    pass (temporal blocking): f is read from and written to HBM once per TWO
+    steps instead of once per step, and one kernel dispatch replaces two.
+    This is the round-5 headline lever (the delayed-flush ring scaffolding of
+    the Bouzidi fold-in, extended to re-stream in-VMEM before flushing) and
+    roughly halves HBM traffic on HBM-bound single-level domains.
+
+    Only childless levels qualify: a parent's INTERMEDIATE state feeds its
+    children's interface ghost planes, so it must exist in HBM.  The fused
+    pair is exactly the (temporal_weight 0.0, 0.5) child pair of the
+    schedule, or two consecutive coarse steps of a single-level case (then
+    u_inlet may differ between the two — both arrive as a (2,) scalar).
+
+    Per grid iteration ci (grid = NCH + 2 so the trailing pipeline drains):
+
+      - step A streams+collides chunk ci from the rotating input window into
+        a 4-slot VMEM ring (f in storage dtype, vel f32 — the bf16
+        round-trip through the ring is bit-identical to the unfused HBM
+        round-trip);
+      - the Bouzidi correction is applied in place to ring chunk ci-1
+        (identical math/scratch to the make_pallas_step bz_plan fold-in:
+        coefficient slabs double-buffered from HBM, the +x pulls read fresh
+        chunk ci's first plane, the -x pulls a saved pre-correction edge).
+        Without this, step B would stream UNcorrected values — in the
+        unfused schedule the standalone correction runs between the steps;
+      - step B streams+collides ring chunk ci-2 (its +x ring neighbor ci-1
+        was corrected this very iteration) and writes the pipelined out
+        blocks, whose index_map trails the grid by 2 (Pallas flushes an out
+        block when its index CHANGES, so the i<2 garbage writes to block 0
+        are overwritten before the first flush).  Step B's output is NOT
+        corrected in-kernel — the standalone correction kernel runs after,
+        exactly like the unfused schedule (2 dispatches/pair instead of 4).
+
+    Interface ghost planes arrive in the pair layout with BOTH sub-step
+    windows block-spec'd in (A at chunk ci / nsub[0], B at chunk ci-2 /
+    nsub[1]); statics ride in two pipelined windows (ci and ci-2).  alias_f
+    is safe for the same reason as make_pallas_step: the out index trails
+    every read of the same region.
+
+    Returns None when the configuration does not qualify (a Bouzidi box
+    touching the first/last chunk, interface faces without pair layout, the
+    VMEM footprint not fitting, flat or sharded layouts) — the caller falls
+    back to the unfused kernel.
+    """
+    XS, YS, ZS = patch.padded
+    X, Y, Z = patch.interior
+    fb = patch.face_bc
+    if patch.flat_yz:
+        return None
+    need_iface = tuple(fc for fc in range(6) if fb[fc] == BC_INTERFACE)
+    if need_iface and not iface_pair:
+        return None  # fused interface reads require the pair layout
+    f_dtype = jnp.bfloat16 if store_bf16 else jnp.float32
+    f_bytes = 2 if store_bf16 else 4
+    g_native = store_bf16  # g = f - w storage (ops.storage); no MXU variant
+
+    def dec(x, k):
+        return x.astype(jnp.float32) if store_bf16 else x
+
+    def enc(x, k):
+        return x.astype(jnp.bfloat16) if store_bf16 else x
+
+    coef_t = jnp.bfloat16 if store_bf16 else jnp.float32
+    cbytes = 2 if store_bf16 else 4
+    has_bz = bz_plan is not None
+    bz_dim = tuple(bz_plan["dim"]) if has_bz else None
+    if planes_per_step:
+        PX = planes_per_step
+        if XS % PX:
+            return None
+    else:
+        PX = None
+        for cand in (8, 4, 2, 1):
+            if XS % cand:
+                continue
+            if _fused2_vmem_est(cand, YS, ZS, f_bytes, has_bz, bz_dim,
+                                cbytes) < 48 * 2**20:
+                PX = cand
+                break
+        if PX is None:
+            return None
+    NCH = XS // PX
+
+    # Bouzidi fold geometry (identical constraints to make_pallas_step's
+    # bz_plan fold-in: the box's chunk range must be interior so both the
+    # predecessor's saved edge and the successor's fresh plane exist)
+    bzf = None
+    if has_bz:
+        _blo, _bdim = bz_plan["lo"], bz_plan["dim"]
+        c_lo, c_hi = _blo[0] // PX, (_blo[0] + _bdim[0] - 1) // PX
+        if not (1 <= c_lo and c_hi <= NCH - 2):
+            return None
+        spx = (c_hi - c_lo + 1) * PX
+        S_np = np.zeros((27, spx) + tuple(_bdim[1:]), np.float32)
+        x0 = _blo[0] - c_lo * PX
+        S_np[:, x0 : x0 + _bdim[0]] = np.asarray(bz_plan["S"], np.float32)
+        bzf = {
+            "c_lo": c_lo, "c_hi": c_hi,
+            "oy": _blo[1], "by": _bdim[1],
+            "oz": _blo[2], "bz": _bdim[2],
+            "spad": jnp.asarray(S_np, coef_t),
+        }
+
+    n_scalar = 2 + (1 if iface_pair else 0)
+
+    def kernel(u_ref, seed_ref, *pre_rest):
+        # u_ref/seed_ref (and nsub) are (2,): [0] = step A, [1] = step B
+        if iface_pair:
+            _nsub_ref, *pre_rest = pre_rest  # consumed by index_maps only
+        f_hbm, vel_hbm = pre_rest[0], pre_rest[1]  # ANY (manual DMA)
+        statA = pre_rest[2:5]  # (PX, YS, ZS) windows at chunk ci
+        statB = pre_rest[5:8]  # windows at chunk ci-2
+        rest = pre_rest[8:]
+        n_if = len(need_iface)
+        ifA = dict(zip(need_iface, rest[:n_if]))
+        ifB = dict(zip(need_iface, rest[n_if : 2 * n_if]))
+        off = 2 * n_if
+        spad_ref = None
+        if bzf is not None:
+            spad_ref = rest[off]  # (27, spx, by, bz) in HBM (manual DMA)
+            off += 1
+        fout_ref, rho_ref, velout_ref = rest[off : off + 3]
+        scr = rest[off + 3 :]
+        if bzf is not None:
+            fwin, vwin, ringf, ringv, sems, plane_sc, sbuf, ssem = scr
+        else:
+            fwin, vwin, ringf, ringv, sems = scr
+
+        ci = pl.program_id(0)  # 0 .. NCH+1 (two drain iterations)
+
+        def start_dma(chunk):
+            slot = chunk % _SLOTS
+            pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(chunk * PX, PX)], fwin.at[slot],
+                sems.at[0, slot],
+            ).start()
+            pltpu.make_async_copy(
+                vel_hbm.at[:, pl.ds(chunk * PX, PX)], vwin.at[slot],
+                sems.at[1, slot],
+            ).start()
+
+        def wait_dma(chunk):
+            slot = chunk % _SLOTS
+            pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(chunk * PX, PX)], fwin.at[slot],
+                sems.at[0, slot],
+            ).wait()
+            pltpu.make_async_copy(
+                vel_hbm.at[:, pl.ds(chunk * PX, PX)], vwin.at[slot],
+                sems.at[1, slot],
+            ).wait()
+
+        @pl.when(ci == 0)
+        def _warmup():
+            start_dma(jnp.int32(0))
+            if NCH > 1:
+                start_dma(jnp.int32(1))
+            wait_dma(jnp.int32(0))
+            if NCH > 1:
+                wait_dma(jnp.int32(1))
+
+        @pl.when(ci + 2 <= NCH - 1)
+        def _prefetch():
+            start_dma(ci + 2)
+
+        @pl.when((ci >= 1) & (ci + 1 <= NCH - 1))
+        def _await_next():
+            wait_dma(ci + 1)
+
+        iota0 = jax.lax.broadcasted_iota(jnp.int32, (PX, YS, ZS), 0)
+        iy3 = jax.lax.broadcasted_iota(jnp.int32, (PX, YS, ZS), 1)
+        iz3 = jax.lax.broadcasted_iota(jnp.int32, (PX, YS, ZS), 2)
+
+        def substep(cb, f_at, v_at, u_inlet, t_seed, iface_refs,
+                    obst_ref, sponge_ref, wall_ref):
+            """One stream+BC+collide on chunk `cb` (traced), pulling from
+            f_at/v_at(chunk) -> slot refs (clamped to [0, NCH-1]; wrapped
+            junk feeds only mask-overwritten rows).  Same math and BC forms
+            as make_pallas_step's body."""
+            ix3 = iota0 + cb * PX
+            c_prev = jnp.maximum(cb - 1, 0)
+            c_next = jnp.minimum(cb + 1, NCH - 1)
+            f_prev_ch, f_cur_ch, f_next_ch = f_at(c_prev), f_at(cb), f_at(c_next)
+            v_prev_ch, v_cur_ch, v_next_ch = v_at(c_prev), v_at(cb), v_at(c_next)
+
+            if fb[0] == BC_INLET:
+                gy1 = jax.lax.broadcasted_iota(
+                    jnp.int32, (YS, ZS), 0) + (patch.lo[1] + 1)
+                gz1 = jax.lax.broadcasted_iota(
+                    jnp.int32, (YS, ZS), 1) + (patch.lo[2] + 1)
+                if inlet_turbulence > 0.0:
+                    noise = cm.hash_noise(gy1, gz1, t_seed)
+                    u_inst = u_inlet + noise * jnp.float32(
+                        inlet_turbulence) * u_inlet
+                else:
+                    u_inst = jnp.broadcast_to(
+                        u_inlet, (YS, ZS)).astype(jnp.float32)
+                base1 = 0.0 if g_native else 1.0
+                inlet_factor = (
+                    base1 + 3.0 * u_inst + 3.0 * u_inst * u_inst
+                )[None, :, :]
+            else:
+                inlet_factor = None
+
+            def face_value(k, face):
+                bc = fb[face]
+                if bc == BC_INTERFACE:
+                    pr = iface_refs[face]
+                    if face // 2 == 0:
+                        return pr[0, 0, k].astype(jnp.float32)[None, :, :]
+                    rows = pr[0, 0, :, k, :].astype(jnp.float32)  # (PX, B)
+                    if face // 2 == 1:
+                        return rows[:, None, :]
+                    return rows[:, :, None]
+                if bc == BC_INLET:
+                    return float(lat.W[k]) * inlet_factor
+                if bc == BC_OUTLET:
+                    cu = float(lat.C_X[k]) * u_inlet
+                    return float(lat.W[k]) * (
+                        (0.0 if g_native else 1.0)
+                        + 3.0 * cu + 4.5 * cu * cu - 1.5 * u_inlet * u_inlet
+                    )
+                if bc == BC_MIRROR_Y:
+                    return dec(f_cur_ch[int(lat.MIRROR_Y[k])], k)
+                if bc == BC_MIRROR_Z:
+                    return dec(f_cur_ch[int(lat.MIRROR_Z[k])], k)
+                raise AssertionError(bc)
+
+            streamed = []
+            for k in range(27):
+                cx, cy, cz = int(lat.C_X[k]), int(lat.C_Y[k]), int(lat.C_Z[k])
+                if cx == 0:
+                    src = f_cur_ch[k]
+                elif cx == 1:
+                    if PX > 1:
+                        src = jnp.concatenate(
+                            [f_prev_ch[k, PX - 1 :], f_cur_ch[k, : PX - 1]],
+                            axis=0,
+                        )
+                    else:
+                        src = f_prev_ch[k]
+                else:
+                    if PX > 1:
+                        src = jnp.concatenate(
+                            [f_cur_ch[k, 1:], f_next_ch[k, :1]], axis=0
+                        )
+                    else:
+                        src = f_next_ch[k]
+                val = dec(_shift2d(src, cy, cz), k)
+                if cz > 0:
+                    val = jnp.where(iz3 == 0, face_value(k, 4), val)
+                elif cz < 0:
+                    val = jnp.where(iz3 == Z - 1, face_value(k, 5), val)
+                if cy > 0:
+                    val = jnp.where(iy3 == 0, face_value(k, 2), val)
+                elif cy < 0:
+                    val = jnp.where(iy3 == Y - 1, face_value(k, 3), val)
+                if cx < 0:
+                    val = jnp.where(ix3 == X - 1, face_value(k, 1), val)
+                elif cx > 0:
+                    val = jnp.where(ix3 == 0, face_value(k, 0), val)
+                streamed.append(val)
+
+            def vel_nbr(dx, dy, dz):
+                if dx == 0:
+                    src = v_cur_ch[:]
+                elif dx == -1:
+                    if PX > 1:
+                        src = jnp.concatenate(
+                            [v_prev_ch[:, PX - 1 :], v_cur_ch[:, : PX - 1]],
+                            axis=1,
+                        )
+                    else:
+                        src = v_prev_ch[:]
+                else:
+                    if PX > 1:
+                        src = jnp.concatenate(
+                            [v_cur_ch[:, 1:], v_next_ch[:, :1]], axis=1
+                        )
+                    else:
+                        src = v_next_ch[:]
+                r = _shift2d(src, -dy, -dz)
+                own = v_cur_ch[:]
+                if dx > 0:
+                    r = jnp.where(ix3 == X - 1, own, r)
+                elif dx < 0:
+                    r = jnp.where(ix3 == 0, own, r)
+                if dy > 0:
+                    r = jnp.where(iy3 == Y - 1, own, r)
+                elif dy < 0:
+                    r = jnp.where(iy3 == 0, own, r)
+                if dz > 0:
+                    r = jnp.where(iz3 == Z - 1, own, r)
+                elif dz < 0:
+                    r = jnp.where(iz3 == 0, own, r)
+                return r
+
+            nbrs = (
+                vel_nbr(1, 0, 0), vel_nbr(-1, 0, 0),
+                vel_nbr(0, 1, 0), vel_nbr(0, -1, 0),
+                vel_nbr(0, 0, 1), vel_nbr(0, 0, -1),
+            )
+            kw = dict(
+                tau=patch.tau,
+                c_wale=c_wale,
+                nu_sgs_background=nu_sgs_background,
+                wall_model=wall_model,
+                sponge_blend=sponge_blend,
+            )
+            if g_native:
+                kw["g_shifted"] = True
+            return cm.collide_unrolled_v2(
+                streamed, nbrs, obst_ref[:] != 0,
+                sponge_ref[:], wall_ref[:], u_inlet, **kw,
+            )
+
+        # ---- step A on chunk ci -> ring slot ci % _SLOTS ----
+        @pl.when(ci <= NCH - 1)
+        def _step_a():
+            fA, _rA, vA = substep(
+                ci, lambda c: fwin.at[c % _SLOTS], lambda c: vwin.at[c % _SLOTS],
+                u_ref[0], seed_ref[0], ifA, statA[0], statA[1], statA[2],
+            )
+            rw = ringf.at[ci % _SLOTS]
+            for k in range(27):
+                rw[k] = enc(fA[k], k)
+            ringv[ci % _SLOTS] = vA
+
+        # ---- Bouzidi correction of ring chunk ci-1 (in place) ----
+        if bzf is not None:
+            c_lo, c_hi = bzf["c_lo"], bzf["c_hi"]
+            oy, by = bzf["oy"], bzf["by"]
+            oz, bz_ = bzf["oz"], bzf["bz"]
+
+            def in_box(P):
+                return (P >= c_lo) & (P <= c_hi)
+
+            def s_dma(slot, P):
+                return pltpu.make_async_copy(
+                    spad_ref.at[:, pl.ds((P - c_lo) * PX, PX)],
+                    sbuf.at[slot], ssem.at[slot],
+                )
+
+            @pl.when(in_box(ci))
+            def _s_prefetch():
+                # coefficients for correcting THIS chunk next invocation,
+                # and its predecessor's pre-correction edge for the +x pulls
+                s_dma(ci % 2, ci).start()
+                pp = ringf.at[(ci - 1) % _SLOTS]
+                plane_sc[(ci - 1) % 2] = pp[
+                    :, PX - 1, oy : oy + by, oz : oz + bz_
+                ]
+
+            P = ci - 1
+
+            @pl.when(in_box(P))
+            def _correct():
+                s_dma(P % 2, P).wait()
+                rp = ringf.at[P % _SLOTS]  # chunk being corrected in place
+                rc = ringf.at[ci % _SLOTS]  # fresh chunk: +x neighbor planes
+                sb = sbuf.at[P % 2]
+                prev = plane_sc.at[(P - 1) % 2]
+
+                def slab(ref, k):
+                    return ref[k, :, oy : oy + by, oz : oz + bz_]
+
+                def shifted(ref, k):
+                    cx = int(lat.C_X[k])
+                    cy, cz = int(lat.C_Y[k]), int(lat.C_Z[k])
+                    b = slab(ref, k)
+                    if cx == 1:
+                        pv = prev[k][None]
+                        b = pv if PX == 1 else jnp.concatenate(
+                            [pv, b[: PX - 1]], axis=0
+                        )
+                    elif cx == -1:
+                        nx = rc[k, 0, oy : oy + by, oz : oz + bz_][None]
+                        b = nx if PX == 1 else jnp.concatenate(
+                            [b[1:], nx], axis=0
+                        )
+                    return _shift2d(b, cy, cz)
+
+                def corrected(j, k):
+                    s = sb[k].astype(jnp.float32)
+                    a = jnp.abs(s)
+                    other = jnp.where(
+                        s < 0,
+                        slab(rp, j).astype(jnp.float32),
+                        shifted(rp, k).astype(jnp.float32),
+                    )
+                    val = (
+                        a * slab(rp, k).astype(jnp.float32) + (1.0 - a) * other
+                    ).astype(f_dtype)
+                    return jnp.where(s != 0, val, slab(rp, j))
+
+                for j in range(27):
+                    k = int(lat.OPP[j])
+                    if j >= k:
+                        continue
+                    new_j = corrected(j, k)
+                    new_k = corrected(k, j)
+                    rp[j, :, oy : oy + by, oz : oz + bz_] = new_j
+                    rp[k, :, oy : oy + by, oz : oz + bz_] = new_k
+
+        # ---- step B on ring chunk ci-2 -> pipelined out blocks ----
+        @pl.when(ci >= 2)
+        def _step_b():
+            cb = ci - 2
+            fB, rB, vB = substep(
+                cb,
+                lambda c: ringf.at[c % _SLOTS],
+                lambda c: ringv.at[c % _SLOTS],
+                u_ref[1], seed_ref[1], ifB, statB[0], statB[1], statB[2],
+            )
+            for k in range(27):
+                fout_ref[k] = enc(fB[k], k)
+            rho_ref[:] = rB
+            velout_ref[:] = vB
+
+    def step(f, vel, u_ab, seed_ab, statics3d, iface: Optional[Dict] = None,
+             nsub_ab=(0, 1), bz_S=None):
+        """u_ab/seed_ab: (2,) step-A/step-B scalars.  `iface` as in
+        make_pallas_step(iface_pair=True): {face: (group_array, face_index)}
+        in the state's space (g = f - w when step.g_native); nsub_ab are the
+        two sub-step plane indices."""
+        iface = iface or {}
+        iface_specs_a, iface_specs_b, iface_vals = [], [], []
+        for fc in need_iface:
+            v, fi = iface[fc]
+            if fc // 2 == 0:
+                iface_specs_a.append(pl.BlockSpec(
+                    (1, 1) + v.shape[2:],
+                    lambda i, *s, _fi=fi: (_fi, s[-1][0], 0, 0, 0),
+                ))
+                iface_specs_b.append(pl.BlockSpec(
+                    (1, 1) + v.shape[2:],
+                    lambda i, *s, _fi=fi: (_fi, s[-1][1], 0, 0, 0),
+                ))
+            else:
+                iface_specs_a.append(pl.BlockSpec(
+                    (1, 1, PX, 27, v.shape[-1]),
+                    lambda i, *s, _fi=fi: (
+                        _fi, s[-1][0], jnp.minimum(i, NCH - 1), 0, 0),
+                ))
+                iface_specs_b.append(pl.BlockSpec(
+                    (1, 1, PX, 27, v.shape[-1]),
+                    lambda i, *s, _fi=fi: (
+                        _fi, s[-1][1], jnp.clip(i - 2, 0, NCH - 1), 0, 0),
+                ))
+            iface_vals.append(v)
+
+        stat_spec_a = pl.BlockSpec(
+            (PX, YS, ZS), lambda i, *_: (jnp.minimum(i, NCH - 1), 0, 0)
+        )
+        stat_spec_b = pl.BlockSpec(
+            (PX, YS, ZS), lambda i, *_: (jnp.clip(i - 2, 0, NCH - 1), 0, 0)
+        )
+        out_idx = lambda i, *_: (jnp.clip(i - 2, 0, NCH - 1), 0, 0)  # noqa: E731
+        out_idx4 = lambda i, *_: (0, jnp.clip(i - 2, 0, NCH - 1), 0, 0)  # noqa: E731
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_scalar,
+            grid=(NCH + 2,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # f
+                pl.BlockSpec(memory_space=pl.ANY),  # vel
+                stat_spec_a, stat_spec_a, stat_spec_a,
+                stat_spec_b, stat_spec_b, stat_spec_b,
+            ]
+            + iface_specs_a
+            + iface_specs_b
+            + (
+                [pl.BlockSpec(memory_space=pl.ANY)] if bzf is not None else []
+            ),
+            out_specs=[
+                pl.BlockSpec((27, PX, YS, ZS), out_idx4),
+                pl.BlockSpec((PX, YS, ZS), out_idx),
+                pl.BlockSpec((3, PX, YS, ZS), out_idx4),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((_SLOTS, 27, PX, YS, ZS), f_dtype),
+                pltpu.VMEM((_SLOTS, 3, PX, YS, ZS), jnp.float32),
+                pltpu.VMEM((_SLOTS, 27, PX, YS, ZS), f_dtype),  # ring f
+                pltpu.VMEM((_SLOTS, 3, PX, YS, ZS), jnp.float32),  # ring vel
+                pltpu.SemaphoreType.DMA((2, _SLOTS)),
+            ]
+            + (
+                [
+                    pltpu.VMEM((2, 27, bzf["by"], bzf["bz"]), f_dtype),
+                    pltpu.VMEM((2, 27, PX, bzf["by"], bzf["bz"]), coef_t),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ]
+                if bzf is not None
+                else []
+            ),
+        )
+        est = _fused2_vmem_est(PX, YS, ZS, f_bytes, has_bz, bz_dim, cbytes) \
+            + sum(
+                int(np.prod(v.shape[2:])) * v.dtype.itemsize * 2
+                for v in iface_vals
+            )
+        fo, rho, vo = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((27, XS, YS, ZS), f_dtype),
+                jax.ShapeDtypeStruct((XS, YS, ZS), jnp.float32),
+                jax.ShapeDtypeStruct((3, XS, YS, ZS), jnp.float32),
+            ],
+            input_output_aliases={n_scalar: 0} if alias_f else {},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(
+                    100 * 2**20, int(est * VMEM_DECL_SCALE) + VMEM_DECL_PAD
+                ),
+            ),
+            interpret=interpret,
+        )(
+            jnp.asarray(u_ab, jnp.float32).reshape(2),
+            jnp.asarray(seed_ab, jnp.int32).reshape(2),
+            *(
+                (jnp.asarray(nsub_ab, jnp.int32).reshape(2),)
+                if iface_pair else ()
+            ),
+            f,
+            vel,
+            statics3d["obstacle_u8"],
+            statics3d["sponge3d"],
+            statics3d["wall3d"],
+            statics3d["obstacle_u8"],
+            statics3d["sponge3d"],
+            statics3d["wall3d"],
+            *iface_vals,
+            *iface_vals,
+            *(
+                ((bzf["spad"] if bz_S is None else bz_S.astype(coef_t)),)
+                if bzf is not None else ()
+            ),
+        )
+        return fo, rho, vo
+
+    step.g_native = g_native
+    step.iface_pair = iface_pair
+    step.fused2 = True
+    # step A's correction is folded in; step B still needs the standalone
+    # correction after the call (the scheduler applies it)
+    step.bz_folded = bzf is not None
+    step.bz_spad = bzf["spad"] if bzf is not None else None
+    step.planes_per_step = PX
+    return step
+
+
+def _chunks_2d_vmem_est(PX, PY, ZS, f_bytes, YS=0, alias_f=False):
     """Per-chunk VMEM footprint of make_pallas_step_2d: rotating windows of
     (27|3, PX, PY, ZS) centers + y-halo row buffers (sublane dim PX pads to
-    the 8 tile) + pipelined static in-blocks + double-buffered out-blocks."""
+    the 8 tile) + pipelined static in-blocks + double-buffered out-blocks.
+    With alias_f, add the parity-double-buffered x-lo save planes
+    (2, NCY, 27, PY+2, ZS) that replace the x-lo halo HBM re-read."""
     plane = PX * PY * ZS
     halo = PY * ZS  # x-halo plane buffers (x0-1, x0+PX; this strip's rows)
-    return (
+    est = (
         _SLOTS * (27 * f_bytes + 3 * 4) * (plane + 2 * halo)
         + 2 * 9 * plane  # statics: obstacle u8 + sponge f32 + wall f32
         + 2 * (27 * f_bytes + 4 + 3 * 4) * plane  # out: f + rho + vel
     )
+    if alias_f:
+        assert YS and YS % PY == 0
+        est += 2 * (YS // PY) * 27 * (PY + 8) * ZS * f_bytes
+    return est
 
 
 def choose_2d_chunks(
     patch: PatchLevel, store_bf16: bool, shard_nx: int = 1,
-    px_c=(16, 8, 4), py_c=(32, 16, 8),
+    px_c=(16, 8, 4), py_c=(32, 16, 8), alias_f: bool = False,
 ):
     """(PX, PY) chunk dims for make_pallas_step_2d, or None if no choice
     fits the per-chunk VMEM budget.  Prefers large PX (amortizes per-chunk
@@ -977,7 +1565,9 @@ def choose_2d_chunks(
         for PY in py_c:
             if YS % PY:
                 continue
-            if _chunks_2d_vmem_est(PX, PY, ZS, fbytes) < 64 * 2**20:
+            if _chunks_2d_vmem_est(
+                PX, PY, ZS, fbytes, YS=YS, alias_f=alias_f
+            ) < 64 * 2**20:
                 return PX, PY
     return None
 
@@ -994,6 +1584,9 @@ def make_pallas_step_2d(
     chunk_dims=None,  # (PX, PY); None = choose_2d_chunks
     store_bf16: bool = False,
     shard_nx: int = 1,
+    alias_f: bool = False,  # write f in place (see the docstring's in-place
+    # paragraph: the x-lo halo HBM re-read becomes a parity-double-buffered
+    # VMEM save; every other read provably precedes the in-place write)
 ):
     """make_pallas_step for domains whose whole-x-plane window exceeds VMEM:
     the grid chunks (PX x-planes x PY y-rows) so the window footprint scales
@@ -1020,11 +1613,25 @@ def make_pallas_step_2d(
         stays static;
       - halo DMAs at the domain x ends clamp to valid planes; the junk they
         deliver only feeds destination rows the x-face BC masks overwrite;
-      - NOT in-place (no alias_f): chunk (ci, cj)'s x-lo halo DMA re-reads
-        the plane chunk (ci-1, cj) produced output for a full column ago —
-        in-place writes would race that read, so input and output f stay
-        separate buffers (a capacity cost only; big-domain runs shard over
-        chips anyway);
+      - in-place (alias_f=True, production): the only read that raced the
+        in-place write was the x-lo halo DMA — chunk (ci, cj) re-read the
+        plane chunk (ci-1, cj) produced output for a full column (NCY
+        iterations) ago.  That DMA is replaced by a parity-double-buffered
+        VMEM save: when chunk (ci, cj) is resident, its input window's LAST
+        plane (with the y-halo rows attached from the prev/next rotating
+        slots, which hold strips cj-1/cj+1 of the same column) is stored to
+        xsave[ci % 2, cj]; chunk (ci+1, cj) reads xsave[(ci+1-1) % 2, cj]
+        one column later.  The parity buffer is what keeps the NEIGHBOR
+        strips' planes alive for the corner pulls: chunk (ci, cj-1) at
+        iteration g-1 writes parity ci%2 while (ci, cj) still needs parity
+        (ci-1)%2 of strip cj-1.  Every other read already preceded the
+        write: the input window of chunk g lands by iteration g-1 (< the
+        copy-out at g), the x-hi halo reads a plane whose in-place write
+        happens a full column LATER (iteration g+NCY), the vel halos read
+        vel, which is never aliased, and the y-halo rides VMEM slots.
+        Kills the transient second f copy (54 B/cell bf16 — ~38% of the
+        big-domain HBM budget) and the x-lo halo's 1/PX read amplification;
+      - alias_f=False keeps the x-lo halo DMA (A/B and test reference);
       - interface faces are unsupported (choose_2d_chunks gates on them):
         fine levels small enough to carry ghost planes fit the 1-D kernel.
 
@@ -1051,7 +1658,8 @@ def make_pallas_step_2d(
         return x.astype(jnp.bfloat16) if store_bf16 else x
 
     if chunk_dims is None:
-        chunk_dims = choose_2d_chunks(patch, store_bf16, shard_nx)
+        chunk_dims = choose_2d_chunks(patch, store_bf16, shard_nx,
+                                      alias_f=alias_f)
     assert chunk_dims is not None, "no (PX, PY) fits the VMEM budget"
     PX, PY = chunk_dims
     assert XL % PX == 0 and YS % PY == 0, (XL, YS, PX, PY)
@@ -1071,7 +1679,12 @@ def make_pallas_step_2d(
             fe_ref, ve_ref = rest[off], rest[off + 1]
             off += 2
         fout_ref, rho_ref, velout_ref = rest[off : off + 3]
-        fwin, vwin, flo, fhi, vlo, vhi, sems = rest[off + 3 :]
+        if alias_f:
+            (fwin, vwin, fhi, vlo, vhi, sems, xsave, xedge) = rest[off + 3 :]
+            flo = None
+        else:
+            fwin, vwin, flo, fhi, vlo, vhi, sems = rest[off + 3 :]
+            xsave = xedge = None
 
         ci = pl.program_id(0)
         cj = pl.program_id(1)
@@ -1092,14 +1705,10 @@ def make_pallas_step_2d(
             # destinations the x-face masks (or slab-edge selects) overwrite
             xl_ = jnp.maximum(x0 - 1, 0)
             xh_ = jnp.minimum(x0 + PX, XL - 1)
-            return (
+            dmas = [
                 pltpu.make_async_copy(
                     f_hbm.at[:, pl.ds(x0, PX), pl.ds(y0, PY)],
                     fwin.at[slot], sems.at[0, slot],
-                ),
-                pltpu.make_async_copy(
-                    f_hbm.at[:, xl_, pl.ds(y0, PY)], flo.at[slot],
-                    sems.at[1, slot],
                 ),
                 pltpu.make_async_copy(
                     f_hbm.at[:, xh_, pl.ds(y0, PY)], fhi.at[slot],
@@ -1117,7 +1726,16 @@ def make_pallas_step_2d(
                     vel_hbm.at[:, xh_, pl.ds(y0, PY)], vhi.at[slot],
                     sems.at[5, slot],
                 ),
-            )
+            ]
+            if not alias_f:
+                # x-lo f halo re-read from HBM: races an in-place write (the
+                # plane was produced a full column ago), so the aliased
+                # kernel takes it from the xsave VMEM buffer instead
+                dmas.append(pltpu.make_async_copy(
+                    f_hbm.at[:, xl_, pl.ds(y0, PY)], flo.at[slot],
+                    sems.at[1, slot],
+                ))
+            return dmas
 
         def start_dma(gq):
             for cp in chunk_dmas(gq):
@@ -1227,6 +1845,44 @@ def make_pallas_step_2d(
                 [src[idx + (slice(1, None),)], row], axis=ax
             )
 
+        if alias_f:
+            # save this chunk's LAST input plane — plus its two y-halo rows
+            # from the prev/next rotating slots, which hold strips cj-1 /
+            # cj+1 of the same x-column (junk at strip/column ends feeds
+            # only mask-overwritten destinations) — for chunk (ci+1, cj)'s
+            # x-lo halo one column from now.  Parity ci%2 keeps the PREVIOUS
+            # column's planes alive for this column's readers.  The PY-row
+            # mid plane and the 8-row edge buffer are separate scratch so
+            # every dynamically-indexed slice stays (8,)-sublane aligned
+            # (Mosaic rejects a dynamic memref_slice with a PY+2 rows dim).
+            sidx = (ci % 2) * NCY + cj
+            xsave[sidx] = fwin.at[s_cur][:, PX - 1]
+            xedge[sidx] = jnp.tile(
+                jnp.concatenate(
+                    [fwin.at[s_prev][:, PX - 1, PY - 1 : PY],
+                     fwin.at[s_next][:, PX - 1, 0:1]],
+                    axis=1,
+                ),
+                (1, 4, 1),
+            )
+            ridx = ((ci - 1) % 2) * NCY + cj
+            xsave_r, xedge_r = xsave.at[ridx], xedge.at[ridx]
+
+        def xlo_halo(k, cy):
+            """x-lo halo plane for direction k, y-shifted by cy: the saved
+            previous-column plane (aliased) or the flo DMA buffer."""
+            if not alias_f:
+                return ycat(flo, k, cy, 0)
+            if cy == 0:
+                return xsave_r[k]
+            if cy == 1:
+                return jnp.concatenate(
+                    [xedge_r[k, 0:1], xsave_r[k, : PY - 1]], axis=0
+                )
+            return jnp.concatenate(
+                [xsave_r[k, 1:], xedge_r[k, 1:2]], axis=0
+            )
+
         streamed = []
         for k in range(27):
             cx, cy, cz = int(lat.C_X[k]), int(lat.C_Y[k]), int(lat.C_Z[k])
@@ -1234,7 +1890,7 @@ def make_pallas_step_2d(
             # x-shift: halo plane buffers (y-concat'd across slots like the
             # window) concatenated on at the shifted-off end
             if cx == 1:
-                val = dec(zroll(xcat(src, ycat(flo, k, cy, 0), 1), cz), k)
+                val = dec(zroll(xcat(src, xlo_halo(k, cy), 1), cz), k)
             elif cx == -1:
                 val = dec(zroll(xcat(src, ycat(fhi, k, cy, 0), -1), cz), k)
             else:
@@ -1361,14 +2017,27 @@ def make_pallas_step_2d(
             scratch_shapes=[
                 pltpu.VMEM((_SLOTS, 27, PX, PY, ZS), f_dtype),
                 pltpu.VMEM((_SLOTS, 3, PX, PY, ZS), jnp.float32),
-                pltpu.VMEM((_SLOTS, 27, PY, ZS), f_dtype),  # x-lo halo plane
+            ]
+            + (
+                [] if alias_f
+                else [pltpu.VMEM((_SLOTS, 27, PY, ZS), f_dtype)]  # x-lo halo
+            )
+            + [
                 pltpu.VMEM((_SLOTS, 27, PY, ZS), f_dtype),  # x-hi halo plane
                 pltpu.VMEM((_SLOTS, 3, PY, ZS), jnp.float32),
                 pltpu.VMEM((_SLOTS, 3, PY, ZS), jnp.float32),
                 pltpu.SemaphoreType.DMA((6, _SLOTS)),
-            ],
+            ]
+            + (
+                # parity-double-buffered x-lo save planes (flattened
+                # (parity, strip) leading index; see the kernel's save/read)
+                [pltpu.VMEM((2 * NCY, 27, PY, ZS), f_dtype),
+                 pltpu.VMEM((2 * NCY, 27, 8, ZS), f_dtype)]
+                if alias_f else []
+            ),
         )
-        est = _chunks_2d_vmem_est(PX, PY, ZS, f_bytes)
+        est = _chunks_2d_vmem_est(PX, PY, ZS, f_bytes, YS=YS,
+                                  alias_f=alias_f)
         fo, rho, vo = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -1377,6 +2046,8 @@ def make_pallas_step_2d(
                 jax.ShapeDtypeStruct((XL, YS, ZS), jnp.float32),
                 jax.ShapeDtypeStruct((3, XL, YS, ZS), jnp.float32),
             ],
+            # f's flattened-input index (after the scalar-prefetch args)
+            input_output_aliases={n_scalar: 0} if alias_f else {},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=min(
                     100 * 2**20, int(est * VMEM_DECL_SCALE) + VMEM_DECL_PAD

@@ -326,8 +326,14 @@ def solve_case(cfg: CaseConfig) -> SolveResult:
                 )
 
         if cfg.checkpoint_freq > 0 and t_done % cfg.checkpoint_freq == 0:
-            path = ckpt.save_checkpoint(ckpt_dir, t_done, states)
-            log.info("[Checkpoint] saved %s", path)
+            # device fetch is synchronous (the buffers are donated to the
+            # next batch right after); the zip/disk write overlaps the next
+            # steps on a background thread
+            ck_t0 = time.time()
+            path = ckpt.save_checkpoint(ckpt_dir, t_done, states,
+                                        async_write=True)
+            log.info("[Checkpoint] saved %s (fetch %.1f s; write async)",
+                     path, time.time() - ck_t0)
 
         if profiled and profile_dir:
             jax.profiler.stop_trace()
@@ -336,6 +342,7 @@ def solve_case(cfg: CaseConfig) -> SolveResult:
 
         t = t_done + 1
 
+    ckpt.wait_pending()  # a checkpoint write may still be in flight
     wall_total = time.time() - t_start
     # MLUPS-ref = total cells x COARSE steps / wall — the reference's
     # convention (reference: main.jl:188-190), which under-counts fine-level

@@ -37,6 +37,7 @@ from .ops.pallas_step import (
     make_pallas_step,
     make_pallas_step_2d,
     make_pallas_step_flat,
+    make_pallas_step_fused2,
     prep_iface_pallas,
     prepare_pallas_statics,
 )
@@ -212,6 +213,12 @@ def make_coarse_step_dense(
     _iface_mode: str = "real",  # perf dissection hook (tools/perf_probe):
     # "frozen" closes rest-state ghost planes over the step as constants,
     # removing the whole interface-construction path from the timeline
+    fuse2: bool = True,  # temporal blocking: fuse the CHILDLESS finest
+    # level's two sub-steps (or two consecutive coarse steps of a
+    # single-level case, via coarse_step.pair_step) into ONE Pallas kernel
+    # pass (make_pallas_step_fused2) — f is read/written once per TWO steps.
+    # Auto-falls back to the unfused schedule when the fused kernel doesn't
+    # qualify (VMEM, Bouzidi box at a domain edge, flat layout, sharding).
 ):
     n_levels = len(patches)
     use_temporal = cfg.temporal_interpolation
@@ -290,7 +297,7 @@ def make_coarse_step_dense(
                 pstep = _shard_map_pstep(pstep, p, mesh)
             psteps.append(pstep)
         elif use_pallas and choose_2d_chunks(
-            p, store_bf16, shard_nx
+            p, store_bf16, shard_nx, alias_f=True
         ) is not None:
             # plane too large for the 1-D whole-x-plane window: the (x, y)
             # chunked kernel covers the reference's 64M/216M-cell rows
@@ -306,6 +313,10 @@ def make_coarse_step_dense(
                 store_bf16=store_bf16,
                 interpret=interpret,
                 shard_nx=shard_nx,
+                # in-place f update: kills the transient second f copy
+                # (54 B/cell bf16, ~38% of the big-domain HBM budget —
+                # single-chip ceiling ~112M -> ~145M cells)
+                alias_f=True,
             )
             if mesh is not None:
                 pstep = _shard_map_pstep(pstep, p, mesh)
@@ -356,6 +367,31 @@ def make_coarse_step_dense(
                     f, _plan if S is None else {**_plan, "S": S}
                 )
             )
+
+    # temporal blocking on the childless finest level (see the fuse2 param)
+    fstep = None
+    last = n_levels - 1
+    if fuse2 and use_pallas and mesh is None and _iface_mode == "real" \
+            and not _bz_fold and psteps[last] is not None \
+            and not getattr(psteps[last], "flat", False) \
+            and not getattr(psteps[last], "bz_folded", False):
+        fstep = make_pallas_step_fused2(
+            patches[last],
+            c_wale=cfg.c_wale,
+            nu_sgs_background=cfg.nu_sgs_background,
+            inlet_turbulence=cfg.inlet_turbulence_intensity,
+            wall_model=cfg.wall_model_enabled,
+            sponge_blend=cfg.sponge_blend_distributions,
+            store_bf16=store_bf16,
+            interpret=interpret,
+            alias_f=True,
+            bz_plan=statics[last]["bouzidi"],
+            iface_pair=getattr(psteps[last], "iface_pair", False),
+        )
+        if fstep is not None and fstep.bz_folded:
+            # chunk-aligned padded coefficients for step A's in-kernel
+            # correction (step B still uses the standalone bz_apply kernel)
+            statics[last]["bz_S_pad"] = fstep.bz_spad
 
     # whether each level's Pallas step is g-native (pre-shifted ghost planes
     # must then arrive in g = f - w space)
@@ -474,6 +510,40 @@ def make_coarse_step_dense(
                         slabs_old=old_sl,
                         slabs_new=new_sl,
                     )
+                    if fstep is not None and lvl + 1 == n_levels - 1:
+                        # temporal blocking: both child sub-steps in ONE
+                        # fused kernel pass (step A's Bouzidi correction is
+                        # folded in; step B's runs standalone below)
+                        stc = states[lvl + 1]
+                        staticc = (
+                            statics[lvl + 1] if _arrs is None
+                            else {**statics[lvl + 1], **_arrs[lvl + 1]}
+                        )
+                        ts = 2 * t_sub
+                        seeds = jnp.stack([
+                            (ts % 1000000).astype(jnp.int32),
+                            ((ts + 1) % 1000000).astype(jnp.int32),
+                        ])
+                        kwf = {}
+                        if fstep.bz_folded:
+                            kwf["bz_S"] = staticc.get("bz_S_pad")
+                        f_new, rho_new, vel_new = fstep(
+                            stc["f"], stc["vel"],
+                            jnp.stack([u_curr, u_curr]), seeds,
+                            staticc, planes,
+                            nsub_ab=(0, 1 if use_temporal else 0), **kwf,
+                        )
+                        if bz_apply[lvl + 1] is not None:
+                            if _arrs is None:
+                                f_new = bz_apply[lvl + 1](f_new)
+                            else:
+                                f_new = bz_apply[lvl + 1](
+                                    f_new, _arrs[lvl + 1]["bz_S"]
+                                )
+                        states[lvl + 1] = {
+                            "f": f_new, "rho": rho_new, "vel": vel_new
+                        }
+                        return
                     # both sub-steps consume the SAME pair arrays; the
                     # sub-step plane is picked by the kernel's index_map
                     visit(lvl + 1, 2 * t_sub, planes, 0)
@@ -517,10 +587,43 @@ def make_coarse_step_dense(
                 )
         return states
 
+    pair_step = None
+    if n_levels == 1 and fstep is not None:
+        def pair_step(states, t, _arrs: List[Dict] = None):
+            """TWO consecutive coarse steps of a single-level case as one
+            fused kernel pass + one standalone Bouzidi correction (temporal
+            blocking; halves f HBM traffic on these HBM-bound domains)."""
+            st = states[0]
+            static = (
+                statics[0] if _arrs is None else {**statics[0], **_arrs[0]}
+            )
+            u_a = ramp_velocity(t, cfg.u_lattice, cfg.ramp_steps)
+            u_b = ramp_velocity(t + 1, cfg.u_lattice, cfg.ramp_steps)
+            seeds = jnp.stack([
+                (t % 1000000).astype(jnp.int32),
+                ((t + 1) % 1000000).astype(jnp.int32),
+            ])
+            kwf = {}
+            if fstep.bz_folded:
+                kwf["bz_S"] = static.get("bz_S_pad")
+            f_new, rho_new, vel_new = fstep(
+                st["f"], st["vel"], jnp.stack([u_a, u_b]), seeds,
+                static, None, **kwf,
+            )
+            if bz_apply[0] is not None:
+                if _arrs is None:
+                    f_new = bz_apply[0](f_new)
+                else:
+                    f_new = bz_apply[0](f_new, _arrs[0]["bz_S"])
+            return [{"f": f_new, "rho": rho_new, "vel": vel_new}]
+
     coarse_step.seed_slabs = seed_slabs
+    coarse_step.pair_step = pair_step
     # which levels run the fused Pallas kernel (vs the XLA dense fallback) —
     # introspection for tests/dryruns asserting the production kernel is live
     coarse_step.pallas_levels = tuple(ps is not None for ps in psteps)
+    # temporal blocking live on the finest level (fused two-sub-step kernel)
+    coarse_step.fused2 = fstep is not None
     coarse_step.bz_folded = tuple(
         getattr(ps, "bz_folded", False) for ps in psteps
     )
@@ -556,10 +659,10 @@ def statics_arg_arrays(statics: List[Dict]) -> List[Dict]:
 
 def make_batch_runner_dense(
     cfg: CaseConfig, params: DomainParams, patches: List[PatchLevel],
-    statics: List[Dict], use_pallas: bool = None,
+    statics: List[Dict], use_pallas: bool = None, fuse2: bool = True,
 ):
     coarse_step = make_coarse_step_dense(
-        cfg, params, patches, statics, use_pallas=use_pallas
+        cfg, params, patches, statics, use_pallas=use_pallas, fuse2=fuse2
     )
     arrs = statics_arg_arrays(statics)
 
@@ -571,29 +674,58 @@ def make_batch_runner_dense(
         out, _ = jax.lax.scan(body, states, t0 + jnp.arange(n, dtype=jnp.int32))
         return out
 
+    pair = coarse_step.pair_step
+    if pair is not None:
+        # single-level temporal blocking: scan fused PAIRS of coarse steps
+        @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+        def _run_pair(states, arrs_, t0, nhalf: int):
+            def body(carry, i):
+                return pair(carry, t0 + 2 * i, arrs_), None
+
+            out, _ = jax.lax.scan(
+                body, states, jnp.arange(nhalf, dtype=jnp.int32)
+            )
+            return out
+
     def run(states, t0, n: int):
         # seed the carried endpoint slabs once (host-side structure check,
         # device-side extraction) so _run always sees one carry structure —
         # a single compile instead of one per seeding state
         states = coarse_step.seed_slabs(states)
+        if pair is not None and n >= 2:
+            if n % 2:  # odd batch: one plain step, then fused pairs
+                states = _run(states, arrs, t0, 1)
+                t0, n = np.int32(t0 + 1), n - 1
+            return _run_pair(states, arrs, t0, n // 2)
         return _run(states, arrs, t0, n)
 
     run.pallas_levels = coarse_step.pallas_levels
+    run.fused2 = coarse_step.fused2
     return run
 
 
-def hbm_bytes_per_cell(precision: str, transient: bool = True) -> float:
+def hbm_bytes_per_cell(
+    precision: str, transient: bool = True, engine: str = "pallas"
+) -> float:
     """THE bytes-per-padded-cell formula, shared by hbm_report_patches and
     estimate_capacity so the planner and the report cannot disagree
     (reference's analogue: src/diagnostics_vram.jl:17-133):
     27 f-entries + rho + vel, static fields twice (flat (N,) for the XLA
     path + 3-D copies for the Pallas BlockSpecs: obstacle u8 + sponge f32 +
-    wall f32 = 9 B each), and optionally the step's transient second f copy
-    (the non-aliased kernel output / XLA double-buffer)."""
+    wall f32 = 9 B each), plus the step's transients.
+
+    With engine="pallas" (production: every Pallas kernel — 1-D, flat, 2-D
+    and fused — now writes f IN PLACE via input_output_aliases) the only
+    per-step transient is the rho+vel scan-carry ping-pong (16 B/cell);
+    engine="xla" adds the dense fallback's full second f copy.  Dropping
+    the f transient (54 B/cell bf16) lifts the single-chip bf16 ceiling
+    from ~112M to ~154M cells on a 16 GB part."""
     f_bytes = 2 if storage.normalize_precision(precision) == storage.STORE_BF16 else 4
     per = (27 * f_bytes + 4 * (1 + 3)) + 2 * (1 + 4 + 4)
     if transient:
-        per += 27 * f_bytes
+        per += 4 * (1 + 3)  # rho + vel double buffer across the scan carry
+        if engine == "xla":
+            per += 27 * f_bytes
     return per
 
 
@@ -635,16 +767,19 @@ def hbm_report_patches(
             f"({n/1e6:.2f}M padded) | state {state_b/1e6:8.1f} MB | fields "
             f"{field_b/1e6:6.1f} MB | bouzidi {bz_b/1e6:5.1f} MB"
         )
-    # the step's transient second f copy (largest level dominates; counted
-    # in estimate_capacity's planning formula, so plan and report agree)
+    # the step's transient (largest level dominates; counted in
+    # estimate_capacity's planning formula, so plan and report agree):
+    # rho+vel scan-carry ping-pong only — every Pallas kernel writes f in
+    # place (input_output_aliases), so there is no second f copy
     trans = max(
-        (p.padded[0] * p.flat_m if p.flat_yz else p.n_padded) * 27 * f_bytes
+        (p.padded[0] * p.flat_m if p.flat_yz else p.n_padded) * 4 * (1 + 3)
         for p in patches
     )
     total += trans
     lines.append(
         f"  estimated total: {total/1e9:.3f} GB "
-        f"(incl. {trans/1e6:.0f} MB transient f copy during the step)"
+        f"(incl. {trans/1e6:.0f} MB transient rho/vel ping-pong during the "
+        "step; f updates in place)"
     )
     try:
         ms = jax.local_devices()[0].memory_stats()
@@ -665,8 +800,8 @@ def estimate_capacity(hbm_gb: float = 0.0, precision: str = "float32") -> int:
     """Cells that fit in the given HBM (0 = read the actual device limit),
     the reference's mesh-capacity planner analogue (reference:
     src/diagnostics_vram.jl estimate_mesh_capacity).  State is 27 f-entries +
-    rho + vel per cell + 18 B of static fields; the step's transients add
-    roughly one more f copy."""
+    rho + vel per cell + 18 B of static fields; the step's transient is the
+    rho/vel ping-pong (f updates in place in every Pallas kernel)."""
     if hbm_gb <= 0.0:
         try:
             ms = jax.local_devices()[0].memory_stats()

@@ -196,6 +196,53 @@ def test_checkpoint_roundtrip(tmp_path):
     assert np.allclose(np.asarray(loaded[0]["f"]), np.asarray(states[0]["f"]))
 
 
+def test_checkpoint_async_streaming_equivalence(tmp_path):
+    """The streaming writer (chunked fetch + incremental zip members +
+    background disk write) must produce a byte-compatible npz: async and
+    sync saves of the same multi-level state load back identically, bf16
+    and f32 alike, with the chunked path actually exercised (chunk size
+    shrunk below one array)."""
+    from open_ludwig_tpu import checkpoint as ckpt
+
+    rng = np.random.default_rng(3)
+    states = [
+        {
+            "f": jnp.asarray(
+                rng.standard_normal((27, 24, 16, 128)), jnp.bfloat16),
+            "rho": jnp.asarray(rng.standard_normal((24, 16, 128)),
+                               jnp.float32),
+            "vel": jnp.asarray(rng.standard_normal((3, 24, 16, 128)),
+                               jnp.float32),
+            "_ifsl": {"x": jnp.zeros((2,))},  # derived carry: must be skipped
+        },
+        {
+            "f": jnp.asarray(rng.standard_normal((27, 8, 8, 128)),
+                             jnp.float32),
+            "rho": jnp.ones((8, 8, 128), jnp.float32),
+            "vel": jnp.zeros((3, 8, 8, 128), jnp.float32),
+        },
+    ]
+    old_chunk = ckpt._CHUNK_BYTES
+    ckpt._CHUNK_BYTES = 64 * 1024  # force many chunks per member
+    try:
+        d1, d2 = str(tmp_path / "sync"), str(tmp_path / "async")
+        p1 = ckpt.save_checkpoint(d1, 7, states, async_write=False)
+        p2 = ckpt.save_checkpoint(d2, 7, states, async_write=True)
+        ckpt.wait_pending()
+    finally:
+        ckpt._CHUNK_BYTES = old_chunk
+    s1, l1 = ckpt.load_checkpoint(p1)
+    s2, l2 = ckpt.load_checkpoint(p2)
+    assert s1 == s2 == 7
+    for a, b, src in zip(l1, l2, states):
+        for key in ("f", "rho", "vel"):
+            ga = np.asarray(a[key], np.float32)
+            gb = np.asarray(b[key], np.float32)
+            assert a[key].dtype == src[key].dtype
+            assert np.array_equal(ga, gb)
+            assert np.array_equal(ga, np.asarray(src[key], np.float32))
+
+
 def test_flow_export_with_vorticity(tmp_path):
     from open_ludwig_tpu.core.patch import PatchLevel
     from open_ludwig_tpu.io.vtk import export_flow_vtu_patches

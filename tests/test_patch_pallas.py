@@ -114,13 +114,17 @@ def test_pallas_matches_dense_interpret(rng):
     assert d.max() < 1e-5, d.max()
 
 
-@pytest.mark.parametrize("store_bf16", [False, True])
-def test_pallas_2d_matches_dense_interpret(rng, store_bf16):
+@pytest.mark.parametrize("store_bf16,alias_f", [
+    (False, False), (True, False), (False, True), (True, True),
+])
+def test_pallas_2d_matches_dense_interpret(rng, store_bf16, alias_f):
     """The (x, y)-chunked kernel (make_pallas_step_2d) vs the XLA dense path
     on a multi-strip (NY=3), multi-chunk (NCX=4) grid with all boundary
     types, wall model, sponge and inlet noise on — the configuration that
     exercises the 3-DMA halo-window assembly and the static sublane-slice
-    streaming on every code path."""
+    streaming on every code path.  alias_f additionally exercises the
+    in-place variant's parity-double-buffered x-lo save planes (the x-lo
+    halo HBM re-read is gone) across 4 columns x 3 strips."""
     from open_ludwig_tpu.ops.pallas_step import make_pallas_step_2d
     from open_ludwig_tpu.ops.storage import decode_f, encode_f
 
@@ -144,7 +148,7 @@ def test_pallas_2d_matches_dense_interpret(rng, store_bf16):
     u, s = jnp.float32(0.04), jnp.int32(9)
     f_ref, r_ref, v_ref = dense_stream_collide(fj, vj, u, s, static_flat, p, **kw)
     pstep = make_pallas_step_2d(p, interpret=True, store_bf16=store_bf16,
-                                chunk_dims=(2, 8), **kw)
+                                chunk_dims=(2, 8), alias_f=alias_f, **kw)
     f_in = encode_f(fj, "bfloat16") if store_bf16 else fj
     f_pl, r_pl, v_pl = pstep(f_in, vj, u, s, prepare_pallas_statics(p))
     if store_bf16:

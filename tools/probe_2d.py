@@ -93,7 +93,10 @@ def make_steps(cfg, p, which, interpret, chunk_dims=None):
     )
     if which == "1d":
         return make_pallas_step(p, **kw)
-    return make_pallas_step_2d(p, chunk_dims=chunk_dims, **kw)
+    # "2da" = in-place variant (alias_f: x-lo halo from the parity save
+    # buffer instead of the HBM re-read; no transient second f copy)
+    return make_pallas_step_2d(p, chunk_dims=chunk_dims,
+                               alias_f=which == "2da", **kw)
 
 
 
@@ -167,7 +170,9 @@ def main():
         else:
             cfg, p = build_patch(args.big, args.precision)
         if args.chunks:
-            cds = [tuple(int(v) for v in c.split("x"))
+            # 'PXxPY' or 'PXxPYa' (trailing a = in-place alias_f variant)
+            cds = [tuple(int(v) for v in c.rstrip("a").split("x"))
+                   + (("a",) if c.endswith("a") else ())
                    for c in args.chunks.split(",")]
         elif args.px and args.py:
             cds = [(args.px, args.py)]
@@ -181,7 +186,8 @@ def main():
         # non-donated states OOM the chip
         runners = {}
         for cd in cds:
-            step = make_steps(cfg, p, "2d", args.interpret, chunk_dims=cd)
+            step = make_steps(cfg, p, "2da" if "a" in cd else "2d",
+                              args.interpret, chunk_dims=cd[:2])
             st = init_patch_state(p, cfg.precision)
             run = run_scan(step, st3d, st, args.n)
             t0 = time.perf_counter()
@@ -217,21 +223,23 @@ def main():
 
     if args.check:
         outs = {}
-        for which in ("1d", "2d"):
+        for which in ("1d", "2d", "2da"):
             step = make_steps(cfg, p, which, args.interpret, chunk_dims=cd)
             st = init_patch_state(p, cfg.precision)
-            run = run_scan(step, st3d, st, 3, donate=False)
-            st = run(st, np.int32(1), 3)
+            run = run_scan(step, st3d, st, 8, donate=False)
+            st = run(st, np.int32(1), 8)
             _sync(st)
             outs[which] = st
         X, Y, Z = p.interior
         worst = 0.0
-        for key in ("f", "rho", "vel"):
-            a = np.asarray(outs["1d"][key], np.float32)[..., :X, :Y, :Z]
-            b = np.asarray(outs["2d"][key], np.float32)[..., :X, :Y, :Z]
-            d = float(np.abs(a - b).max())
-            worst = max(worst, d)
-            print(f"  {key}: max|diff| = {d:.3e}", flush=True)
+        for other in ("2d", "2da"):
+            for key in ("f", "rho", "vel"):
+                a = np.asarray(outs["1d"][key], np.float32)[..., :X, :Y, :Z]
+                b = np.asarray(outs[other][key], np.float32)[..., :X, :Y, :Z]
+                d = float(np.abs(a - b).max())
+                worst = max(worst, d)
+                print(f"  1d vs {other} {key}: max|diff| = {d:.3e}",
+                      flush=True)
         print(f"worst: {worst:.3e} -> {'PASS' if worst == 0.0 else 'CHECK'}")
         return
 

@@ -39,6 +39,13 @@ def main():
                     "';'-separated KiB values ('0' = compiler default); "
                     "steers how much VMEM the MSA pass may pin carries "
                     "into (e.g. '0;98304')")
+    ap.add_argument("--fuse2", type=str, default="off",
+                    help="comma list of on|off: temporal blocking (fused "
+                    "two-sub-step kernel on the childless finest level / "
+                    "fused coarse-step pairs on single-level cases)")
+    ap.add_argument("--check", action="store_true",
+                    help="compare final states across ALL modes after the "
+                    "compile window instead of timing")
     args = ap.parse_args()
 
     import jax
@@ -111,36 +118,80 @@ def main():
           )
           for mode in args.iface.split(","):
            for bzm in args.bz.split(","):
-            coarse = make_coarse_step_dense(
-                cfg, params, levels, statics, _iface_mode=mode,
-                _bz_fold=bzm == "fold",
-            )
-            # AFTER make_coarse_step_dense: it may add bz_S_pad (fold)
-            arrs = statics_arg_arrays(statics)
-
-            @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,),
-                     compiler_options=copts)
-            def run(states, arrs_, t0, n, _co=coarse):
-                def body(c, t):
-                    return _co(list(c), t, arrs_), None
-
-                out, _ = jax.lax.scan(
-                    body, states, t0 + jnp.arange(n, dtype=jnp.int32)
+            for fz in args.fuse2.split(","):
+                coarse = make_coarse_step_dense(
+                    cfg, params, levels, statics, _iface_mode=mode,
+                    _bz_fold=bzm == "fold", fuse2=fz == "on",
                 )
-                return out
+                # AFTER make_coarse_step_dense: it may add bz_S_pad (fold)
+                arrs = statics_arg_arrays(statics)
+                pair = coarse.pair_step if fz == "on" else None
+                if fz == "on" and not coarse.fused2:
+                    print(f"  [fz=on {mode}/{bzm}] fused kernel did not "
+                          "qualify — running unfused", flush=True)
 
-            states = [init_patch_state(p, cfg.precision) for p in levels]
-            states = coarse.seed_slabs(states)
-            t0 = time.perf_counter()
-            states = run(states, arrs, np.int32(1), args.n)
-            jax.block_until_ready(states[0]["rho"])
-            compile_s = time.perf_counter() - t0
-            key = mode if args.bz == "fold" else f"{mode}/{bzm}"
-            if pxv is not None:
-                key += " px=" + ",".join(f"{k}:{v}" for k, v in pxv.items())
-            if scoped is not None:
-                key += f" scoped={scoped}k"
-            runners[key] = (run, states, compile_s, arrs)
+                if pair is not None:
+                    assert args.n % 2 == 0, "--n must be even for fz=on"
+
+                    @partial(jax.jit, static_argnums=(3,),
+                             donate_argnums=(0,), compiler_options=copts)
+                    def run(states, arrs_, t0, n, _co=coarse):
+                        def body(c, i):
+                            return _co.pair_step(c, t0 + 2 * i, arrs_), None
+
+                        out, _ = jax.lax.scan(
+                            body, states,
+                            jnp.arange(n // 2, dtype=jnp.int32),
+                        )
+                        return out
+                else:
+                    @partial(jax.jit, static_argnums=(3,),
+                             donate_argnums=(0,), compiler_options=copts)
+                    def run(states, arrs_, t0, n, _co=coarse):
+                        def body(c, t):
+                            return _co(list(c), t, arrs_), None
+
+                        out, _ = jax.lax.scan(
+                            body, states, t0 + jnp.arange(n, dtype=jnp.int32)
+                        )
+                        return out
+
+                states = [init_patch_state(p, cfg.precision) for p in levels]
+                states = coarse.seed_slabs(states)
+                t0 = time.perf_counter()
+                states = run(states, arrs, np.int32(1), args.n)
+                jax.block_until_ready(states[0]["rho"])
+                compile_s = time.perf_counter() - t0
+                key = mode if args.bz == "fold" else f"{mode}/{bzm}"
+                if args.fuse2 != "off":
+                    key += f" fz={fz}"
+                if pxv is not None:
+                    key += " px=" + ",".join(
+                        f"{k}:{v}" for k, v in pxv.items())
+                if scoped is not None:
+                    key += f" scoped={scoped}k"
+                runners[key] = (run, states, compile_s, arrs)
+
+    if args.check:
+        def interior(p, a):
+            a = np.asarray(a, np.float32)
+            if p.flat_yz:
+                return a
+            X, Y, Z = p.interior
+            return a[..., :X, :Y, :Z]
+
+        keys = list(runners)
+        base = runners[keys[0]][1]
+        for other in keys[1:]:
+            st2 = runners[other][1]
+            for li, p in enumerate(levels):
+                for q in ("f", "rho", "vel"):
+                    df = float(np.abs(
+                        interior(p, base[li][q]) - interior(p, st2[li][q])
+                    ).max())
+                    print(f"  {keys[0]} vs {other} L{li} {q}: {df:.3e}",
+                          flush=True)
+        return
 
     dts = {m: [] for m in runners}
     for rep in range(args.reps):
