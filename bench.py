@@ -119,16 +119,49 @@ def _time_runner(run, states, updates_per_coarse, batch=200, n_timed=400,
     """
     import jax
 
+    def fence(sts):
+        # jax.block_until_ready returns EARLY on the axon tunnel (observed
+        # at 66M-cell shapes in round 4 and on the 400-step headline window
+        # in round 5: timing collapsed to ~1.4 ms for 400 steps, printing
+        # 378k MLUPS).  A scalar ELEMENT fetch is the reliable fence
+        # (NOTES_ROUND4_PERF.md "Tunnel measurement hazards").
+        return float(np.asarray(jax.device_get(sts[0]["rho"].ravel()[0])))
+
+    # any window implying more than this is a broken measurement, not a fast
+    # chip: the case is HBM-bound and one chip's roofline sits near
+    # ~12000 MLUPS-su (~1.2 TB/s / ~100 B-per-update)
+    sanity_mlups = 20000.0
+    min_dt = updates_per_coarse * batch / (sanity_mlups * 1e6)
+
     states = run(states, np.int32(1), batch)
-    jax.block_until_ready(states[0]["rho"])
+    fence(states)
     best_dt = float("inf")
     n_win = max(2, n_timed // batch)
-    for i in range(n_win):
+    i = 0
+    retries = 0
+    while i < n_win:
+        # round-trip cost of the fence itself, measured on an already-ready
+        # array over the same connection, subtracted from the window below
+        r0 = time.time()
+        fence(states)
+        rtt = time.time() - r0
         t0 = time.time()
         states = run(states, np.int32(batch + 1 + i * batch), batch)
-        jax.block_until_ready(states[0]["rho"])
-        best_dt = min(best_dt, time.time() - t0)
-        if spread_s and i < n_win - 1:
+        fence(states)
+        dt = time.time() - t0 - rtt
+        if dt < min_dt:  # impossible-fast window: discard, re-measure
+            retries += 1
+            print(f"# bench: discarded impossible window ({dt*1e3:.2f} ms "
+                  f"for {batch} steps); retry {retries}",
+                  file=sys.stderr, flush=True)
+            if retries <= 2 * n_win:
+                time.sleep(max(spread_s, 5.0))
+                continue
+            raise RuntimeError("bench: all timed windows measured "
+                               "impossibly fast; measurement path broken")
+        best_dt = min(best_dt, dt)
+        i += 1
+        if spread_s and i < n_win:
             time.sleep(spread_s)
     return updates_per_coarse * batch / best_dt / 1e6
 
@@ -148,47 +181,56 @@ def _sweep():
     )
 
     rows = []
-    for res in (12, 25, 34, 45):  # ~1.6M / ~14M / ~37M / ~64M cells
-        # res 12/25/34 run the 1-D whole-x-plane kernel; res 45 (63.7M
-        # cells) exceeds its VMEM window and runs the 2-D (x,y)-chunked
-        # kernel — the reference's large-domain coverage (64M cells,
-        # reference: README.md:508).  domain_tile_snap grows the tunnel to
+    for res in (12, 25, 34, 45, 52, 57):  # ~1.6/14/37/64/98/129M cells
+        # res 12/25/34 run the 1-D whole-x-plane kernel; res >= 45 exceeds
+        # its VMEM window and runs the 2-D (x,y)-chunked kernel — the
+        # reference's large-domain coverage (64M cells, README.md:508).
+        # res 52/57 (~98M/~129M) sit past the OLD transient-copy ceiling
+        # (~112M): they fit one chip only because the 2-D kernel now
+        # updates f in place (parity-double-buffered x-lo halo save,
+        # ops/pallas_step.py).  domain_tile_snap grows the tunnel to
         # TPU tile multiples so the boxes carry no dead lane padding
         # (interior == padded; up to ~30% of the big boxes otherwise).
         tmp = tempfile.mkdtemp()
-        make_case_sphere(
-            tmp, "1M", surface_resolution=res, num_levels=1,
-            steps=100, ramp_steps=50, output_freq=100000, diag_freq=100000,
-            precision="bfloat16", domain_tile_snap=True,
-        )
-        cfg = load_case_config(tmp)
-        mesh = load_mesh(cfg.stl_path, scale=cfg.stl_scale)
-        params = compute_domain_params(cfg, mesh.min_bounds, mesh.max_bounds)
-        levels = build_patches(cfg, mesh, params)
-        statics = build_patch_statics(cfg, levels)
-        states = [init_patch_state(p, cfg.precision) for p in levels]
-        cells = sum(p.n_cells for p in levels)
-        run = make_batch_runner_dense(cfg, params, levels, statics)
-        n_timed = max(20, min(200, int(4e9 / cells)))
-        batch = max(5, n_timed // 4)
-        # same window discipline as the headline: several timed windows
-        # spread over minutes of wall clock, best window reported (the
-        # tunnel TPU has multi-minute 2-2.5x contention regimes; round 4's
-        # 1.6M row read 1678 from a single contended window where round 3
-        # measured 2479)
-        n_win = 6 if cells < 20e6 else 4
-        n_timed = batch * n_win
-        mlups = _time_runner(run, states, cells, batch=batch,
-                             n_timed=n_timed, spread_s=12.0)
-        label = f"{cells/1e6:.1f}M"
-        rows.append({
-            "cells": cells, "label": label, "mlups": round(mlups, 1),
-            "windows": f"best of {n_win} x {batch}-step windows spread "
-                       "12 s apart (shared-tunnel contention discipline)",
-        })
-        print(f"# sweep {label}: {cells/1e6:.1f}M cells -> {mlups:.0f} MLUPS",
-              file=sys.stderr, flush=True)
-    json.dump(rows, open(os.path.join(_HERE, "BENCH_SWEEP.json"), "w"), indent=1)
+        try:
+            make_case_sphere(
+                tmp, "1M", surface_resolution=res, num_levels=1,
+                steps=100, ramp_steps=50, output_freq=100000, diag_freq=100000,
+                precision="bfloat16", domain_tile_snap=True,
+            )
+            cfg = load_case_config(tmp)
+            mesh = load_mesh(cfg.stl_path, scale=cfg.stl_scale)
+            params = compute_domain_params(cfg, mesh.min_bounds, mesh.max_bounds)
+            levels = build_patches(cfg, mesh, params)
+            statics = build_patch_statics(cfg, levels)
+            states = [init_patch_state(p, cfg.precision) for p in levels]
+            cells = sum(p.n_cells for p in levels)
+            run = make_batch_runner_dense(cfg, params, levels, statics)
+            n_timed = max(20, min(200, int(4e9 / cells)))
+            batch = max(5, n_timed // 4)
+            # same window discipline as the headline: several timed windows
+            # spread over minutes of wall clock, best window reported (the
+            # tunnel TPU has multi-minute 2-2.5x contention regimes; round 4's
+            # 1.6M row read 1678 from a single contended window where round 3
+            # measured 2479)
+            n_win = 6 if cells < 20e6 else 4
+            n_timed = batch * n_win
+            mlups = _time_runner(run, states, cells, batch=batch,
+                                 n_timed=n_timed, spread_s=12.0)
+            label = f"{cells/1e6:.1f}M"
+            rows.append({
+                "cells": cells, "label": label, "mlups": round(mlups, 1),
+                "windows": f"best of {n_win} x {batch}-step windows spread "
+                           "12 s apart (shared-tunnel contention discipline)",
+            })
+            print(f"# sweep {label}: {cells/1e6:.1f}M cells -> {mlups:.0f} "
+                  "MLUPS", file=sys.stderr, flush=True)
+            del states, run, statics
+        except Exception as e:  # a row that fails (e.g. OOM) must not kill
+            rows.append({"res": res, "error": f"{type(e).__name__}: {e}"[:200]})
+            print(f"# sweep res={res} FAILED: {e}", file=sys.stderr, flush=True)
+        json.dump(rows, open(os.path.join(_HERE, "BENCH_SWEEP.json"), "w"),
+                  indent=1)
     return rows
 
 

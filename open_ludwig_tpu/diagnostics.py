@@ -114,3 +114,44 @@ def vorticity_blocks_host(
                    cz[b] * 8 : cz[b] * 8 + 8]
     # back to the blocks (z, y, x) cell order
     return np.transpose(out, (0, 3, 2, 1)).reshape(nb, 512)
+
+
+def control_volume_force(
+    state: Dict, patch, params, rho_phys: float, margin: int = 2
+) -> np.ndarray:
+    """Steady control-volume momentum balance over one level's interior:
+    F_on_body = -oint[rho u (u.n) + p n] dA over the box faces `margin`
+    cells inside the interior, in PHYSICAL newtons (p = (rho-1)/3 lattice
+    pressure, momentum flux scaled by rho_phys * velocity_scale^2 * dx^2).
+
+    An independent cross-check of the surface force paths (stress mapping
+    and momentum exchange, ops/forces.py): it samples only the far field,
+    so it cannot share their near-wall error modes.  Valid when the flow is
+    quasi-steady and the body's voxelization lies entirely inside the box —
+    the momentum-exchange validation study used exactly this balance
+    (VALIDATION.md; no reference analogue, the reference ships no
+    independent force check).
+    """
+    rho = np.asarray(state["rho"], np.float32)
+    vel = np.asarray(state["vel"], np.float32)
+    X, Y, Z = patch.interior
+    m = margin
+    vs = params.velocity_scale
+    dx = params.dx_levels[patch.level_id - 1]
+
+    def face_flux(axis: int, side: int) -> np.ndarray:
+        idx = m if side == 0 else ([X, Y, Z][axis] - 1 - m)
+        sl = [slice(m, X - m), slice(m, Y - m), slice(m, Z - m)]
+        sl[axis] = idx
+        sl = tuple(sl)
+        r = rho[sl]
+        u = vel[(slice(None),) + sl]
+        n_ax = -1.0 if side == 0 else 1.0
+        un = u[axis] * n_ax
+        pres = (r - 1.0) / 3.0
+        F = np.empty(3)
+        for i in range(3):
+            F[i] = -np.sum(r * u[i] * un + (pres * n_ax if i == axis else 0.0))
+        return F * (rho_phys * vs * vs * dx * dx)
+
+    return sum(face_flux(a, s) for a in range(3) for s in (0, 1))

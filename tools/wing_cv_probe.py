@@ -66,34 +66,11 @@ else:
     print("[mom-ex ] no obstacle cells on the finest level")
 
 # control-volume momentum balance on the finest level
-p = patches[-1]
-st = states[-1]
-rho = np.asarray(st["rho"])
-vel = np.asarray(st["vel"])  # (3, XS, YS, ZS) lattice units
-X, Y, Z = p.interior
-m = 2  # margin inside the interior
-vs = params.velocity_scale  # phys m/s per lattice unit
-dx = params.dx_levels[p.level_id - 1]
-print("vel_scale", vs, "dx_fine", dx)
+from open_ludwig_tpu.diagnostics import control_volume_force
+
+print("vel_scale", params.velocity_scale, "dx_fine",
+      params.dx_levels[patches[-1].level_id - 1])
 rho_phys = c.fluid_density
-
-def face_flux(axis, side):
-    # CV face at index m (side 0) or hi-m-1 (side 1); outward normal
-    idx = m if side == 0 else ([X, Y, Z][axis] - 1 - m)
-    sl = [slice(m, X - m), slice(m, Y - m), slice(m, Z - m)]
-    sl[axis] = idx
-    sl = tuple(sl)
-    r = rho[sl]
-    u = vel[(slice(None),) + sl]  # (3, ...)
-    n = np.zeros(3); n[axis] = -1.0 if side == 0 else 1.0
-    un = u[axis] * n[axis]
-    pres = (r - 1.0) / 3.0
-    # F_on_body = -integral[rho u (u.n) + p n] dA   (steady momentum balance)
-    F = np.zeros(3)
-    for i in range(3):
-        F[i] = -np.sum(r * u[i] * un + pres * n[i])
-    return F * (rho_phys * vs * vs * dx * dx)
-
-F = sum(face_flux(a, s) for a in range(3) for s in (0, 1))
+F = control_volume_force(states[-1], patches[-1], params, rho_phys, margin=2)
 qA = 0.5 * rho_phys * U * U * c.reference_area
 print(f"[CV] F = {F} N -> Cd={F[0]/qA:+.4f} Cl={F[2]/qA:+.4f}")
