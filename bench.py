@@ -142,9 +142,13 @@ def _time_runner(run, states, updates_per_coarse, batch=200, n_timed=400,
     while i < n_win:
         # round-trip cost of the fence itself, measured on an already-ready
         # array over the same connection, subtracted from the window below
-        r0 = time.time()
-        fence(states)
-        rtt = time.time() - r0
+        # (median of 3: a single noisy sample would bias small windows)
+        rtts = []
+        for _ in range(3):
+            r0 = time.time()
+            fence(states)
+            rtts.append(time.time() - r0)
+        rtt = sorted(rtts)[1]
         t0 = time.time()
         states = run(states, np.int32(batch + 1 + i * batch), batch)
         fence(states)
@@ -206,14 +210,19 @@ def _sweep():
             states = [init_patch_state(p, cfg.precision) for p in levels]
             cells = sum(p.n_cells for p in levels)
             run = make_batch_runner_dense(cfg, params, levels, statics)
-            n_timed = max(20, min(200, int(4e9 / cells)))
-            batch = max(5, n_timed // 4)
+            # window sizing: >= ~2e9 site-updates per window (~0.7 s device
+            # time) so the ~23 ms tunnel round-trip subtracted by
+            # _time_runner is noise, not signal — a 50-step window on the
+            # 1.6M row is ~30 ms of device time, and best-of over such
+            # windows reports whichever window got the luckiest RTT sample
+            # (measured: 7061 "MLUPS" on the 1.6M row before this sizing)
+            batch = int(np.clip(round(2e9 / cells), 10, 1200))
             # same window discipline as the headline: several timed windows
             # spread over minutes of wall clock, best window reported (the
             # tunnel TPU has multi-minute 2-2.5x contention regimes; round 4's
             # 1.6M row read 1678 from a single contended window where round 3
             # measured 2479)
-            n_win = 6 if cells < 20e6 else 4
+            n_win = 5 if cells < 20e6 else 4
             n_timed = batch * n_win
             mlups = _time_runner(run, states, cells, batch=batch,
                                  n_timed=n_timed, spread_s=12.0)
